@@ -1,0 +1,204 @@
+"""Graph-convolutional embedding models (LightGCN family + MF), functional JAX style.
+
+Capabilities of the two reference trainers:
+  * PyTorch LightGCN / PureMF (`code/model.py:41-220`),
+  * TF LightGCN with NGCF / GCN / GCMC layer variants (`LightGCN-tf/LightGCN.py:232-340`).
+
+Params are a flat dict of arrays (pure pytree) so the same step function works under
+`jit`, `shard_map`, and optax without a module framework in the hot path.  Propagation
+is the shared bipartite SpMM (`serendipity_tpu.ops.spmm`); arch differences are thin
+combinator layers on top of it:
+
+  lightgcn : x_{k+1} = A_hat x_k ; output mean(x_0..x_K)            (`model.py:145-177`)
+  mf       : no propagation, raw tables                              (`model.py:41-84`)
+  ngcf     : x_{k+1} = LeakyReLU((A+I)x W1 + (A x ⊙ x) W2); concat   (`LightGCN.py:255-293`)
+  gcn      : x_{k+1} = LeakyReLU((A+I) x W); concat                  (`LightGCN.py:296-316`)
+  gcmc     : x_{k+1} = LeakyReLU(A x W) -> dense; concat             (`LightGCN.py:318-340`)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from serendipity_tpu.config import ModelConfig
+from serendipity_tpu.graph.adjacency import BipartiteAdjacency
+from serendipity_tpu.ops.spmm import lightgcn_propagate, spmm_edges
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclass(frozen=True)
+class EmbeddingModel:
+    """Static model definition; propagation state lives in the adjacency arrays."""
+
+    arch: str
+    n_users: int
+    n_items: int
+    embed_dim: int
+    n_layers: int
+    edge_dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def propagate(
+        self,
+        params: Params,
+        adj: Dict[str, jnp.ndarray],
+        dropout_key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Return final (all_users, all_items) embeddings."""
+        ue = params["user_embedding"].astype(self.compute_dtype)
+        ie = params["item_embedding"].astype(self.compute_dtype)
+        if self.arch == "mf":
+            return ue, ie
+
+        edge_keep = None
+        if dropout_key is not None and self.edge_dropout > 0.0:
+            keep_prob = 1.0 - self.edge_dropout
+            keep = jax.random.bernoulli(
+                dropout_key, keep_prob, shape=adj["u_w"].shape
+            )
+            edge_keep = keep.astype(self.compute_dtype) / keep_prob
+
+        if self.arch == "lightgcn":
+            return lightgcn_propagate(
+                ue, ie,
+                adj["u_dst"], adj["u_src"], adj["u_w"],
+                adj["i_dst"], adj["i_src"], adj["i_w"],
+                self.n_layers,
+                edge_keep=edge_keep,
+            )
+        if self.arch in ("ngcf", "gcn", "gcmc"):
+            return self._propagate_weighted(params, adj, edge_keep)
+        raise ValueError(f"unknown arch {self.arch!r}")
+
+    def _propagate_weighted(
+        self,
+        params: Params,
+        adj: Dict[str, jnp.ndarray],
+        edge_keep: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """NGCF / GCN / GCMC variants: per-layer weight matrices, concat outputs.
+
+        Follows `LightGCN-tf/LightGCN.py:255-340`: each layer applies the propagated
+        neighborhood through learned weights + LeakyReLU; the final representation is
+        the concatenation of all layer outputs (l2-normalized per layer for NGCF,
+        mirroring `tf.math.l2_normalize` at `LightGCN.py:290`).
+        """
+        u_w, i_w = adj["u_w"], adj["i_w"]
+        if edge_keep is not None:
+            u_w = u_w * edge_keep
+            i_w = i_w * edge_keep
+        ue = params["user_embedding"].astype(self.compute_dtype)
+        ie = params["item_embedding"].astype(self.compute_dtype)
+
+        u_outs, i_outs = [ue], [ie]
+        u_cur, i_cur = ue, ie
+        for k in range(self.n_layers):
+            w1 = params[f"w_gc_{k}"].astype(self.compute_dtype)
+            b1 = params[f"b_gc_{k}"].astype(self.compute_dtype)
+            u_side = spmm_edges(adj["u_dst"], adj["u_src"], u_w, i_cur, self.n_users)
+            i_side = spmm_edges(adj["i_dst"], adj["i_src"], i_w, u_cur, self.n_items)
+            if self.arch == "gcmc":
+                # A x W (no self loop), then per-layer dense "MLP" projection
+                u_nxt = jax.nn.leaky_relu(u_side @ w1 + b1)
+                i_nxt = jax.nn.leaky_relu(i_side @ w1 + b1)
+                wm = params[f"w_mlp_{k}"].astype(self.compute_dtype)
+                bm = params[f"b_mlp_{k}"].astype(self.compute_dtype)
+                u_nxt = u_nxt @ wm + bm
+                i_nxt = i_nxt @ wm + bm
+            elif self.arch == "gcn":
+                u_nxt = jax.nn.leaky_relu((u_side + u_cur) @ w1 + b1)
+                i_nxt = jax.nn.leaky_relu((i_side + i_cur) @ w1 + b1)
+            else:  # ngcf
+                w2 = params[f"w_bi_{k}"].astype(self.compute_dtype)
+                b2 = params[f"b_bi_{k}"].astype(self.compute_dtype)
+                u_nxt = jax.nn.leaky_relu(
+                    (u_side + u_cur) @ w1 + b1 + (u_side * u_cur) @ w2 + b2
+                )
+                i_nxt = jax.nn.leaky_relu(
+                    (i_side + i_cur) @ w1 + b1 + (i_side * i_cur) @ w2 + b2
+                )
+                u_nxt = u_nxt / jnp.maximum(
+                    jnp.linalg.norm(u_nxt, axis=1, keepdims=True), 1e-12
+                )
+                i_nxt = i_nxt / jnp.maximum(
+                    jnp.linalg.norm(i_nxt, axis=1, keepdims=True), 1e-12
+                )
+            u_cur, i_cur = u_nxt, i_nxt
+            u_outs.append(u_cur)
+            i_outs.append(i_cur)
+        return jnp.concatenate(u_outs, axis=1), jnp.concatenate(i_outs, axis=1)
+
+    def bpr_loss(
+        self,
+        params: Params,
+        adj: Dict[str, jnp.ndarray],
+        users: jnp.ndarray,
+        pos: jnp.ndarray,
+        neg: jnp.ndarray,
+        l2_decay: float,
+        dropout_key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Softplus BPR + L2 on the ego (pre-propagation) embeddings.
+
+        Matches `model.bpr_loss` (`model.py:196-209`) / TF `create_bpr_loss`
+        (`LightGCN.py:342-357`): loss = mean softplus(neg - pos) +
+        decay * (|u0|^2 + |p0|^2 + |n0|^2) / (2 * batch).
+        """
+        all_u, all_i = self.propagate(params, adj, dropout_key)
+        ue = all_u[users]
+        pe = all_i[pos]
+        ne = all_i[neg]
+        pos_scores = jnp.sum(ue * pe, axis=1)
+        neg_scores = jnp.sum(ue * ne, axis=1)
+        mf_loss = jnp.mean(jax.nn.softplus(neg_scores - pos_scores))
+
+        u0 = params["user_embedding"][users]
+        p0 = params["item_embedding"][pos]
+        n0 = params["item_embedding"][neg]
+        reg = 0.5 * (
+            jnp.sum(u0.astype(jnp.float32) ** 2)
+            + jnp.sum(p0.astype(jnp.float32) ** 2)
+            + jnp.sum(n0.astype(jnp.float32) ** 2)
+        ) / users.shape[0]
+        loss = mf_loss + l2_decay * reg
+        return loss, {"mf_loss": mf_loss, "reg_loss": reg}
+
+
+def init_params(
+    key: jax.Array,
+    cfg: ModelConfig,
+    n_users: int,
+    n_items: int,
+    pretrained: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> Params:
+    """N(0, init_std) init (`LightGCN.py:171`: stddev 0.01; PyTorch uses 0.1 at
+    `model.py:112-113`) or pretrained tables (the `--pretrain` path,
+    `model.py:115-118`, e.g. ProNE embeddings)."""
+    dtype = jnp.dtype(cfg.param_dtype)
+    params: Params = {}
+    if pretrained is not None:
+        params["user_embedding"] = jnp.asarray(pretrained[0], dtype=dtype)
+        params["item_embedding"] = jnp.asarray(pretrained[1], dtype=dtype)
+    else:
+        ku, ki = jax.random.split(key)
+        params["user_embedding"] = (
+            jax.random.normal(ku, (n_users, cfg.embed_dim), dtype) * cfg.init_std
+        )
+        params["item_embedding"] = (
+            jax.random.normal(ki, (n_items, cfg.embed_dim), dtype) * cfg.init_std
+        )
+    if cfg.arch in ("ngcf", "gcn", "gcmc"):
+        kw = jax.random.split(jax.random.fold_in(key, 7), (cfg.n_layers, 3))
+        d = cfg.embed_dim
+        for k in range(cfg.n_layers):
+            for j, name in enumerate(("gc", "bi", "mlp")):
+                params[f"w_{name}_{k}"] = (
+                    jax.random.normal(kw[k, j], (d, d), dtype) * cfg.init_std
+                )
+                params[f"b_{name}_{k}"] = jnp.zeros((d,), dtype)
+    return params

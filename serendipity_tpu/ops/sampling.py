@@ -1,0 +1,61 @@
+"""On-device BPR (user, pos, neg) batch sampling.
+
+Contract of the reference C++ sampler `sample_negative` (`sampling.cpp:27-56`) and its
+Python fallback `UniformSample_original_python` (`code/utils.py:67-99`): a sample is
+(u ~ uniform over users with >=1 positive, pos ~ uniform over u's positives,
+neg ~ uniform over items rejected while in u's positive set).
+
+TPU-native formulation: no data-dependent loops — negatives are drawn for a fixed
+number of rounds R and the first non-positive draw per slot is kept.  The residual
+bias (all R draws positive) is < max_density^R, negligible for R>=8 at recommender
+sparsity levels; the host C++ sampler (`native/sampler.cpp`) provides the exact
+rejection loop as a differential cross-check, mirroring the reference's dual
+implementations (`code/utils.py:21-31`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from serendipity_tpu.ops.search import contains_in_rows
+
+
+def sample_bpr_batch(
+    key: jax.Array,
+    valid_users: jnp.ndarray,     # [n_valid] user ids with >=1 train item
+    train_indptr: jnp.ndarray,    # [n_users+1] int32
+    train_indices: jnp.ndarray,   # [nnz] int32, sorted per row
+    n_items: int,
+    batch_size: int,
+    resample_rounds: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (users, pos_items, neg_items), each int32 [batch_size]."""
+    k_user, k_pos, k_neg = jax.random.split(key, 3)
+
+    uidx = jax.random.randint(k_user, (batch_size,), 0, valid_users.shape[0])
+    users = valid_users[uidx]
+
+    lo = train_indptr[users].astype(jnp.int32)
+    hi = train_indptr[users + 1].astype(jnp.int32)
+    deg = hi - lo
+    pos_off = jax.random.randint(k_pos, (batch_size,), 0, 1 << 30) % jnp.maximum(deg, 1)
+    pos = train_indices[lo + pos_off]
+
+    cands = jax.random.randint(
+        k_neg, (resample_rounds, batch_size), 0, n_items, dtype=jnp.int32
+    )
+    is_pos = contains_in_rows(
+        train_indices,
+        jnp.broadcast_to(lo, cands.shape).reshape(-1),
+        jnp.broadcast_to(hi, cands.shape).reshape(-1),
+        cands.reshape(-1),
+    ).reshape(cands.shape)
+    # first non-positive round per slot; if all rounds hit positives keep the last draw
+    first_ok = jnp.argmax(~is_pos, axis=0)
+    any_ok = jnp.any(~is_pos, axis=0)
+    row = jnp.where(any_ok, first_ok, resample_rounds - 1)
+    neg = cands[row, jnp.arange(batch_size)]
+    return users.astype(jnp.int32), pos.astype(jnp.int32), neg.astype(jnp.int32)

@@ -1,0 +1,170 @@
+"""BPR training: one `jit`-compiled epoch (scan over steps), on-device sampling.
+
+Replaces the reference's epoch structure — host C++ rejection sampler + shuffle +
+minibatch loop + per-batch `.to(device)` (`Procedure.BPR_train_original`,
+`Procedure.py:26-57`; TF threaded sampler overlap, `LightGCN.py:386-429`) — with a
+single device computation per epoch: `lax.scan` over steps, each step drawing its
+(user, pos, neg) batch with `serendipity_tpu.ops.sampling` and applying one Adam
+update.  There is no host<->device traffic inside an epoch at all, which removes the
+~16 s/epoch CPU sampling overhead the reference README reports.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from serendipity_tpu.config import ExperimentConfig
+from serendipity_tpu.models.lightgcn import EmbeddingModel, Params, init_params
+from serendipity_tpu.ops.sampling import sample_bpr_batch
+from serendipity_tpu.train.device import DeviceData
+
+
+@dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    key: jax.Array
+    epoch: int = 0
+    best_metric: float = 0.0
+    best_epoch: int = -1
+    stopping_step: int = 0
+    history: List[Dict[str, float]] = field(default_factory=list)
+
+
+class BPRTrainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model: EmbeddingModel,
+        data: DeviceData,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.data = data
+        self.optimizer = optax.adam(cfg.train.lr)
+        tcfg = cfg.train
+        self.steps_per_epoch = tcfg.steps_per_epoch or max(
+            1, -(-data.n_train // tcfg.batch_size)
+        )
+        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0, 1))
+
+    def init_state(self, pretrained=None) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.train.seed)
+        k_init, k_loop = jax.random.split(key)
+        params = init_params(
+            k_init, self.cfg.model, self.data.n_users, self.data.n_items, pretrained
+        )
+        return TrainState(
+            params=params, opt_state=self.optimizer.init(params), key=k_loop
+        )
+
+    def _build_epoch_fn(self) -> Callable:
+        model, data, cfg = self.model, self.data, self.cfg
+        tcfg = cfg.train
+        steps = self.steps_per_epoch
+
+        def step(carry, step_key):
+            params, opt_state = carry
+            k_sample, k_drop = jax.random.split(step_key)
+            users, pos, neg = sample_bpr_batch(
+                k_sample,
+                data.valid_users,
+                data.train_indptr,
+                data.train_indices,
+                data.n_items,
+                tcfg.batch_size,
+                tcfg.neg_resample_rounds,
+            )
+
+            def loss_fn(p):
+                return model.bpr_loss(
+                    p, data.adj, users, pos, neg, tcfg.l2_decay,
+                    dropout_key=k_drop if model.edge_dropout > 0 else None,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux["mf_loss"])
+
+        def epoch_fn(params, opt_state, key):
+            key, sub = jax.random.split(key)
+            step_keys = jax.random.split(sub, steps)
+            (params, opt_state), (losses, mf_losses) = jax.lax.scan(
+                step, (params, opt_state), step_keys
+            )
+            return params, opt_state, key, jnp.mean(losses), jnp.mean(mf_losses)
+
+        return epoch_fn
+
+    def train_epoch(self, state: TrainState) -> Tuple[TrainState, float, float]:
+        params, opt_state, key, loss, mf_loss = self._epoch_fn(
+            state.params, state.opt_state, state.key
+        )
+        state.params, state.opt_state, state.key = params, opt_state, key
+        state.epoch += 1
+        return state, float(loss), float(mf_loss)
+
+    def fit(
+        self,
+        state: TrainState,
+        evaluator: Optional["Evaluator"] = None,
+        log_fn: Callable[[str], None] = print,
+    ) -> TrainState:
+        """Train with periodic evaluation + early stopping.
+
+        Early-stopping contract of `utility/helper.py:38-53` / `Procedure`-style
+        patience: track best recall@Ks[0]; stop after `patience` successive
+        non-improving evaluations.
+        """
+        tcfg = self.cfg.train
+        k0 = self.cfg.eval.topks[0]
+        best_params = state.params
+        for _ in range(state.epoch, tcfg.epochs):
+            t0 = time.perf_counter()
+            state, loss, mf_loss = self.train_epoch(state)
+            dt = time.perf_counter() - t0
+            rec: Dict[str, float] = {"epoch": state.epoch, "loss": loss, "time": dt}
+            if evaluator is not None and state.epoch % tcfg.eval_every == 0:
+                metrics = evaluator.evaluate(state.params)
+                rec.update(metrics)
+                cur = metrics[f"recall@{k0}"]
+                log_fn(
+                    f"epoch {state.epoch}: loss={loss:.5f} "
+                    f"recall@{k0}={cur:.5f} ndcg@{k0}={metrics[f'ndcg@{k0}']:.5f} "
+                    f"({dt:.2f}s/epoch)"
+                )
+                if cur > state.best_metric:
+                    state.best_metric = cur
+                    state.best_epoch = state.epoch
+                    state.stopping_step = 0
+                    best_params = jax.tree.map(lambda x: x, state.params)
+                else:
+                    state.stopping_step += 1
+                    if state.stopping_step >= tcfg.patience:
+                        log_fn(
+                            f"early stop at epoch {state.epoch} "
+                            f"(best recall@{k0}={state.best_metric:.5f} "
+                            f"@ epoch {state.best_epoch})"
+                        )
+                        state.params = best_params
+                        break
+            state.history.append(rec)
+        else:
+            if evaluator is not None and state.best_epoch >= 0:
+                state.params = best_params
+        return state
+
+    def export_embeddings(self, state: TrainState):
+        """Final propagated (user, item) embeddings — the `emb_user.npy` /
+        `emb_item.npy` contract (`LightGCN.py:707-708`, `code/main.py:40-41`)."""
+        import numpy as np
+
+        all_u, all_i = jax.jit(self.model.propagate)(state.params, self.data.adj)
+        return np.asarray(all_u), np.asarray(all_i)

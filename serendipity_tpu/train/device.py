@@ -1,0 +1,58 @@
+"""Host -> device staging of the interaction graph for training and evaluation.
+
+One explicit transfer point: everything the jitted train/eval steps need lives in this
+container as device arrays with static shapes.  This replaces the reference's
+per-epoch host sampling + `.to(device)` copies (`Procedure.py:32-39`) — after staging,
+an entire training epoch runs as a single device computation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.graph.adjacency import BipartiteAdjacency, build_normalized_adjacency
+
+
+@dataclass
+class DeviceData:
+    n_users: int
+    n_items: int
+    n_train: int
+    adj: Dict[str, jnp.ndarray]          # edge lists for propagation
+    train_indptr: jnp.ndarray            # [n_users+1]
+    train_indices: jnp.ndarray           # [nnz] sorted per row
+    valid_users: jnp.ndarray             # users with >=1 train item
+    test_indptr: jnp.ndarray
+    test_indices: jnp.ndarray
+
+
+def build_device_data(
+    inter: Interactions, adj: BipartiteAdjacency | None = None
+) -> DeviceData:
+    if adj is None:
+        adj = build_normalized_adjacency(inter)
+    adj_dev = {
+        "u_dst": jnp.asarray(adj.u_dst),
+        "u_src": jnp.asarray(adj.u_src),
+        "u_w": jnp.asarray(adj.u_w),
+        "i_dst": jnp.asarray(adj.i_dst),
+        "i_src": jnp.asarray(adj.i_src),
+        "i_w": jnp.asarray(adj.i_w),
+    }
+    valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
+    return DeviceData(
+        n_users=inter.n_users,
+        n_items=inter.n_items,
+        n_train=inter.n_train,
+        adj=adj_dev,
+        train_indptr=jnp.asarray(inter.train_indptr, dtype=jnp.int32),
+        train_indices=jnp.asarray(inter.train_indices, dtype=jnp.int32),
+        valid_users=jnp.asarray(valid),
+        test_indptr=jnp.asarray(inter.test_indptr, dtype=jnp.int32),
+        test_indices=jnp.asarray(inter.test_indices, dtype=jnp.int32),
+    )

@@ -1,0 +1,144 @@
+"""Unit tests for the core device ops against plain-numpy references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from serendipity_tpu.graph import build_normalized_adjacency
+from serendipity_tpu.ops import (
+    contains_in_rows,
+    lightgcn_propagate,
+    ranking_metrics_cumulative,
+    sample_bpr_batch,
+    searchsorted_in_rows,
+    spmm_edges,
+)
+from serendipity_tpu.ops.metrics import hit_matrix
+
+
+def test_searchsorted_in_rows():
+    rng = np.random.default_rng(1)
+    rows = [np.sort(rng.choice(100, size=rng.integers(0, 20), replace=False)) for _ in range(30)]
+    flat = np.concatenate([r for r in rows]) if rows else np.array([])
+    ptr = np.cumsum([0] + [len(r) for r in rows])
+    q_rows = rng.integers(0, 30, 200)
+    queries = rng.integers(0, 100, 200)
+    lo, hi = ptr[q_rows], ptr[q_rows + 1]
+    got = searchsorted_in_rows(jnp.asarray(flat), jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(queries))
+    for g, r, q, l in zip(np.asarray(got), q_rows, queries, lo):
+        assert g - l == np.searchsorted(rows[r], q, side="left")
+    member = contains_in_rows(jnp.asarray(flat), jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(queries))
+    for m, r, q in zip(np.asarray(member), q_rows, queries):
+        assert bool(m) == (q in rows[r])
+
+
+def test_spmm_vs_scipy(tiny_inter):
+    sp = pytest.importorskip("scipy.sparse")
+    adj = build_normalized_adjacency(tiny_inter, pad_multiple=128)
+    e = adj.n_edges
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((tiny_inter.n_items, 16)).astype(np.float32)
+    got = spmm_edges(
+        jnp.asarray(adj.u_dst), jnp.asarray(adj.u_src), jnp.asarray(adj.u_w),
+        jnp.asarray(x), tiny_inter.n_users,
+    )
+    ref = sp.coo_matrix(
+        (adj.u_w[:e], (adj.u_dst[:e], adj.u_src[:e])),
+        shape=(tiny_inter.n_users, tiny_inter.n_items),
+    ) @ x
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lightgcn_propagate_vs_dense(tiny_inter):
+    """K-layer propagation + mean pool == dense block-matrix computation
+    (semantics of `model.computer()`, model.py:145-177)."""
+    adj = build_normalized_adjacency(tiny_inter)
+    e = adj.n_edges
+    n_u, n_i = tiny_inter.n_users, tiny_inter.n_items
+    a = np.zeros((n_u + n_i, n_u + n_i), dtype=np.float64)
+    a[adj.u_dst[:e], adj.u_src[:e] + n_u] = adj.u_w[:e]
+    a[adj.i_dst[:e] + n_u, adj.i_src[:e]] = adj.i_w[:e]
+
+    rng = np.random.default_rng(3)
+    ue = rng.standard_normal((n_u, 8)).astype(np.float32)
+    ie = rng.standard_normal((n_i, 8)).astype(np.float32)
+    for n_layers in (1, 3):
+        u_out, i_out = lightgcn_propagate(
+            jnp.asarray(ue), jnp.asarray(ie),
+            jnp.asarray(adj.u_dst), jnp.asarray(adj.u_src), jnp.asarray(adj.u_w),
+            jnp.asarray(adj.i_dst), jnp.asarray(adj.i_src), jnp.asarray(adj.i_w),
+            n_layers,
+        )
+        x = np.concatenate([ue, ie]).astype(np.float64)
+        acc = x.copy()
+        cur = x
+        for _ in range(n_layers):
+            cur = a @ cur
+            acc += cur
+        acc /= n_layers + 1
+        np.testing.assert_allclose(np.asarray(u_out), acc[:n_u], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(i_out), acc[n_u:], rtol=1e-4, atol=1e-5)
+
+
+def test_sample_bpr_batch(tiny_inter):
+    key = jax.random.PRNGKey(0)
+    ptr = jnp.asarray(tiny_inter.train_indptr, dtype=jnp.int32)
+    idx = jnp.asarray(tiny_inter.train_indices, dtype=jnp.int32)
+    deg = np.diff(tiny_inter.train_indptr)
+    valid = jnp.asarray(np.nonzero(deg > 0)[0].astype(np.int32))
+    users, pos, neg = sample_bpr_batch(
+        key, valid, ptr, idx, tiny_inter.n_items, batch_size=512
+    )
+    users, pos, neg = map(np.asarray, (users, pos, neg))
+    for u, p, n in zip(users, pos, neg):
+        its = set(tiny_inter.train_items_of(u).tolist())
+        assert p in its
+        assert n not in its
+        assert 0 <= n < tiny_inter.n_items
+    # distribution sanity: all valid users reachable
+    assert len(np.unique(users)) > len(np.asarray(valid)) // 2
+
+
+def _naive_foldout_metrics(ranked, truth):
+    """Direct transliteration of the formulas in evaluate_foldout.h:16-112."""
+    k = len(ranked)
+    tset = set(truth)
+    hits = [1.0 if r in tset else 0.0 for r in ranked]
+    out = {"precision": [], "recall": [], "ap": [], "ndcg": [], "mrr": []}
+    ch, sum_pre, dcg, idcg, rr = 0, 0.0, 0.0, 0.0, 0.0
+    found = False
+    for i in range(k):
+        if hits[i]:
+            ch += 1
+            sum_pre += ch / (i + 1)
+            dcg += 1.0 / np.log2(i + 2)
+            if not found:
+                rr = 1.0 / (i + 1)
+                found = True
+        if i < len(truth):
+            idcg += 1.0 / np.log2(i + 2)
+        out["precision"].append(ch / (i + 1))
+        out["recall"].append(ch / len(truth))
+        out["ap"].append(sum_pre / len(truth))
+        out["ndcg"].append(dcg / idcg if idcg > 0 else 0.0)
+        out["mrr"].append(rr if found else 0.0)
+    return {m: np.array(v) for m, v in out.items()}
+
+
+def test_ranking_metrics_vs_naive():
+    rng = np.random.default_rng(4)
+    b, k, n = 16, 20, 200
+    ranked = np.stack([rng.choice(n, k, replace=False) for _ in range(b)])
+    truths = [rng.choice(n, rng.integers(1, 30), replace=False) for _ in range(b)]
+    flat = np.concatenate([np.sort(t) for t in truths])
+    ptr = np.cumsum([0] + [len(t) for t in truths])
+    lo, hi = jnp.asarray(ptr[:-1]), jnp.asarray(ptr[1:])
+    hits = hit_matrix(jnp.asarray(ranked), lo, hi, jnp.asarray(flat))
+    got = ranking_metrics_cumulative(hits, jnp.asarray([len(t) for t in truths]))
+    for bi in range(b):
+        ref = _naive_foldout_metrics(list(ranked[bi]), list(truths[bi]))
+        for m in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[m])[bi], ref[m], rtol=1e-5, atol=1e-6, err_msg=m
+            )
