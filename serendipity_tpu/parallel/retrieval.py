@@ -1,0 +1,54 @@
+"""Sharded full-catalog retrieval: dot-product scoring + distributed top-k merge.
+
+TPU-native replacement for the reference retrieval paths — `torch.topk` over a
+[B, N_items] matrix on one GPU (`Procedure.py:129-135`) and the C++
+`c_top_k_array_index` thread pool (`tools.h:13-33`).  Items are row-sharded over the
+`model` mesh axis; each shard scores its slice on the MXU and takes a local top-k,
+then the (k per shard) candidates are all-gathered over ICI and re-top-k'd — merge
+traffic is O(n_model * k), independent of catalog size.  Users are sharded over the
+`data` axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def sharded_score_topk(
+    mesh: Mesh,
+    user_vecs: jnp.ndarray,      # [B, D] queries, sharded over 'data'
+    item_table: jnp.ndarray,     # [N_pad, D] items, row-sharded over 'model'
+    k: int,
+    mask_value: float = -jnp.inf,
+    item_valid: Optional[jnp.ndarray] = None,  # [N_pad] bool; False rows never win
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (top_scores [B,k], top_item_ids [B,k]) with global item ids."""
+
+    def local(u, it, valid):
+        scores = jax.lax.dot_general(
+            u, it, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [b_local, n_local]
+        if valid is not None:
+            scores = jnp.where(valid[None, :], scores, mask_value)
+        v, idx = jax.lax.top_k(scores, k)
+        offset = jax.lax.axis_index("model") * it.shape[0]
+        idx = idx + offset
+        v_all = jax.lax.all_gather(v, "model", axis=1, tiled=True)    # [b, s*k]
+        i_all = jax.lax.all_gather(idx, "model", axis=1, tiled=True)
+        v2, sel = jax.lax.top_k(v_all, k)
+        return v2, jnp.take_along_axis(i_all, sel, axis=1)
+
+    in_specs = (P("data", None), P("model", None), P("model") if item_valid is not None else None)
+    fn = jax.shard_map(
+        partial(local),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    )
+    return fn(user_vecs, item_table, item_valid)

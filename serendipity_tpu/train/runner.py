@@ -1,0 +1,95 @@
+"""End-to-end training runner: dataset -> trained embeddings + result record.
+
+Covers the role of the reference trainer mains (`lightGCN/.../code/main.py`,
+`LightGCN-tf/LightGCN.py:431-731`): train with periodic eval + early stopping, keep
+the best params, export `emb_user.npy` / `emb_item.npy`, and append a result line in
+the spirit of `output/<ds>/LightGCN.result` (`LightGCN.py:723-731`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from serendipity_tpu.config import ExperimentConfig
+from serendipity_tpu.data.datasets import Interactions, load_adjacency_list, load_serendipity_csv
+from serendipity_tpu.models.lightgcn import EmbeddingModel
+from serendipity_tpu.train.bpr import BPRTrainer, TrainState
+from serendipity_tpu.train.device import build_device_data
+from serendipity_tpu.train.evaluator import Evaluator
+
+
+def load_dataset(cfg: ExperimentConfig) -> Interactions:
+    path = cfg.data.path
+    if os.path.exists(os.path.join(path, "train.txt")):
+        return load_adjacency_list(path)
+    return load_serendipity_csv(path)
+
+
+def build_model(cfg: ExperimentConfig, n_users: int, n_items: int) -> EmbeddingModel:
+    import jax.numpy as jnp
+
+    return EmbeddingModel(
+        arch=cfg.model.arch,
+        n_users=n_users,
+        n_items=n_items,
+        embed_dim=cfg.model.embed_dim,
+        n_layers=cfg.model.n_layers,
+        edge_dropout=cfg.model.edge_dropout,
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    inter: Optional[Interactions] = None,
+    pretrained: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    log_fn=print,
+) -> Dict:
+    if inter is None:
+        inter = load_dataset(cfg)
+    data = build_device_data(inter)
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    trainer = BPRTrainer(cfg, model, data)
+    evaluator = Evaluator(model, data, inter, cfg.eval)
+    state = trainer.init_state(pretrained=pretrained)
+
+    t0 = time.perf_counter()
+    state = trainer.fit(state, evaluator, log_fn=log_fn)
+    train_time = time.perf_counter() - t0
+
+    final = evaluator.evaluate(state.params)
+    emb_user, emb_item = trainer.export_embeddings(state)
+
+    out_dir = os.path.join(cfg.out_dir, cfg.data.name)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "emb_user.npy"), emb_user)
+    np.save(os.path.join(out_dir, "emb_item.npy"), emb_item)
+    record = {
+        "dataset": cfg.data.name,
+        "arch": cfg.model.arch,
+        "embed_dim": cfg.model.embed_dim,
+        "n_layers": cfg.model.n_layers,
+        "lr": cfg.train.lr,
+        "l2_decay": cfg.train.l2_decay,
+        "epochs_run": state.epoch,
+        "best_epoch": state.best_epoch,
+        "train_time_s": round(train_time, 2),
+        **{k: round(v, 5) for k, v in final.items()},
+    }
+    with open(os.path.join(out_dir, "result.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    log_fn(f"result: {json.dumps(record)}")
+    return {
+        "record": record,
+        "state": state,
+        "emb_user": emb_user,
+        "emb_item": emb_item,
+        "interactions": inter,
+        "history": state.history,
+    }
