@@ -1,0 +1,183 @@
+"""ProNE spectral embedding init, TPU-native.
+
+Capability match for `proNE.py` (ProNE: NE as sparse matrix factorization + spectral
+propagation): the user-item graph (items offset by n_users, `proNE.py:169-178`) is
+factorized into dim-d embeddings, then enhanced by a Chebyshev-Gaussian band-pass
+filter.  The scipy/sklearn pipeline becomes edge-list SpMM + on-device randomized SVD:
+
+  pre-factorization (`proNE.py:62-84`): for the 0/1 bipartite adjacency the
+  log-transformed PPMI-style matrix has the closed form per edge (u,i):
+      F_ui = log(1/deg_u) - log(neg_i),   neg = colsum(rownorm(A))^0.75 / sum
+  so F is just a reweighted edge list — factorized by subspace iteration
+  (`ops/svd.randomized_svd_operator`) without ever materializing scipy CSR.
+
+  chebyshev_gaussian (`proNE.py:86-120`): with A' = I + A and DA = rownorm(A'),
+      M x = (1 - mu) x - DA x,     DA x = (x + A x) / (deg + 1)
+  the recursion Lx2 = M(M Lx1) - 2 Lx1 - Lx0 runs as a fixed python loop of
+  SpMM + AXPY under one jit; Bessel coefficients iv(i, theta) are host-side
+  power-series scalars (no scipy dependency).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from serendipity_tpu.config import ProNEConfig
+from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.graph.adjacency import BipartiteAdjacency, build_normalized_adjacency
+from serendipity_tpu.ops.spmm import spmm_edges
+from serendipity_tpu.ops.svd import l2_normalize_rows, randomized_svd_operator, svd_tall
+
+
+def bessel_iv(n: int, s: float, terms: int = 24) -> float:
+    """Modified Bessel function of the first kind I_n(s) by power series
+    (sum_k (s/2)^(2k+n) / (k! (k+n)!)); replaces `scipy.special.iv`
+    (`proNE.py:104-113`).  Converges to machine precision for the small s used."""
+    total = 0.0
+    for k in range(terms):
+        total += (s / 2.0) ** (2 * k + n) / (math.factorial(k) * math.factorial(k + n))
+    return total
+
+
+def _edge_weights_prefactorization(
+    adj: BipartiteAdjacency,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-edge F values for both halves (closed form of `proNE.py:62-81`)."""
+    deg_u = np.maximum(adj.user_degrees.astype(np.float64), 1)
+    deg_i = np.maximum(adj.item_degrees.astype(np.float64), 1)
+    e = adj.n_edges
+
+    # colsum of row-normalized A at node v = sum over neighbors n of 1/deg_n
+    colsum_i = np.zeros(adj.n_items)
+    np.add.at(colsum_i, adj.u_src[:e], 1.0 / deg_u[adj.u_dst[:e]])
+    colsum_u = np.zeros(adj.n_users)
+    np.add.at(colsum_u, adj.i_src[:e], 1.0 / deg_i[adj.i_dst[:e]])
+
+    pow_i = colsum_i ** 0.75
+    pow_u = colsum_u ** 0.75
+    total = pow_i.sum() + pow_u.sum()
+    neg_i = np.maximum(pow_i / total, 1e-300)
+    neg_u = np.maximum(pow_u / total, 1e-300)
+
+    # F_dst,src = log(1/deg_dst) - log(neg_src); the reference clamps values <= 0
+    # to 1 before log (`proNE.py:75-79`), which only affects the (positive) neg term
+    # when neg >= 1 — impossible after normalization — so the closed form is exact.
+    f_u = (-np.log(deg_u[adj.u_dst[:e]]) - np.log(neg_i[adj.u_src[:e]])).astype(np.float32)
+    f_i = (-np.log(deg_i[adj.i_dst[:e]]) - np.log(neg_u[adj.i_src[:e]])).astype(np.float32)
+
+    f_u_pad = np.zeros(adj.n_edges_padded, np.float32)
+    f_i_pad = np.zeros(adj.n_edges_padded, np.float32)
+    f_u_pad[:e] = f_u
+    f_i_pad[:e] = f_i
+    return f_u_pad, f_i_pad
+
+
+def prone_embeddings(
+    inter: Interactions,
+    cfg: ProNEConfig,
+    seed: int = 0,
+    adj: BipartiteAdjacency | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full ProNE pipeline -> (emb_user [U,d], emb_item [I,d]), l2-normalized rows."""
+    if adj is None:
+        adj = build_normalized_adjacency(inter)
+    n_u, n_i = adj.n_users, adj.n_items
+    f_u, f_i = _edge_weights_prefactorization(adj)
+
+    u_dst = jnp.asarray(adj.u_dst)
+    u_src = jnp.asarray(adj.u_src)
+    i_dst = jnp.asarray(adj.i_dst)
+    i_src = jnp.asarray(adj.i_src)
+    fu = jnp.asarray(f_u)
+    fi = jnp.asarray(f_i)
+
+    # F^T needs the u-half weights laid out in item-sorted edge order (and vice
+    # versa).  Both halves enumerate the same undirected edges; CSR-by-item order is
+    # (item, user)-lex, so permuting the u-half arrays by that key aligns them.
+    e = adj.n_edges
+    order_ui = np.lexsort((adj.u_dst[:e], adj.u_src[:e]))   # u-half -> (item, user) order
+    order_iu = np.lexsort((adj.i_dst[:e], adj.i_src[:e]))   # i-half -> (user, item) order
+    fu_by_item = np.zeros(adj.n_edges_padded, np.float32)
+    fu_by_item[:e] = f_u[:e][order_ui]
+    fi_by_user = np.zeros(adj.n_edges_padded, np.float32)
+    fi_by_user[:e] = f_i[:e][order_iu]
+    fu_t = jnp.asarray(fu_by_item)
+    fi_t = jnp.asarray(fi_by_user)
+
+    # stacked-node operator: x = [x_users; x_items]
+    def matvec_f(x):
+        xu, xi = x[:n_u], x[n_u:]
+        yu = spmm_edges(u_dst, u_src, fu, xi, n_u)
+        yi = spmm_edges(i_dst, i_src, fi, xu, n_i)
+        return jnp.concatenate([yu, yi], axis=0)
+
+    def rmatvec_f(y):
+        yu, yi = y[:n_u], y[n_u:]
+        # (F^T y)_i = sum_u F_ui y_u ; (F^T y)_u = sum_i F_iu y_i
+        xi = spmm_edges(i_dst, i_src, fu_t, yu, n_i)
+        xu = spmm_edges(u_dst, u_src, fi_t, yi, n_u)
+        return jnp.concatenate([xu, xi], axis=0)
+
+    key = jax.random.PRNGKey(seed)
+    u0, s0 = randomized_svd_operator(
+        key, matvec_f, rmatvec_f, n_u + n_i, n_u + n_i, cfg.dim,
+        n_iter=cfg.svd_iters, oversample=cfg.svd_oversample,
+    )
+    features = l2_normalize_rows(u0 * jnp.sqrt(jnp.maximum(s0, 0.0)))  # `proNE.py:44-45`
+
+    emb = _chebyshev_gaussian(
+        features, adj, cfg.order, cfg.mu, cfg.theta, cfg.dim
+    )
+    emb = np.asarray(emb)
+    return emb[:n_u], emb[n_u:]
+
+
+def _chebyshev_gaussian(a, adj: BipartiteAdjacency, order, mu, s, dim):
+    n_u, n_i = adj.n_users, adj.n_items
+    u_dst = jnp.asarray(adj.u_dst)
+    u_src = jnp.asarray(adj.u_src)
+    i_dst = jnp.asarray(adj.i_dst)
+    i_src = jnp.asarray(adj.i_src)
+    e = adj.n_edges
+    ones_u = jnp.asarray((np.arange(adj.n_edges_padded) < e).astype(np.float32))
+    deg1 = jnp.asarray(
+        np.concatenate([adj.user_degrees, adj.item_degrees]).astype(np.float32) + 1.0
+    )[:, None]
+    bessels = [bessel_iv(i, s) for i in range(max(order, 2))]
+
+    def adj_mv(x):
+        xu, xi = x[:n_u], x[n_u:]
+        yu = spmm_edges(u_dst, u_src, ones_u, xi, n_u)
+        yi = spmm_edges(i_dst, i_src, ones_u, xu, n_i)
+        return jnp.concatenate([yu, yi], axis=0)
+
+    @jax.jit
+    def run(a):
+        if order == 1:
+            return a
+
+        def m_mv(x):
+            # M x = (1 - mu) x - DA x,  DA = rownorm(I + A)
+            return (1.0 - mu) * x - (x + adj_mv(x)) / deg1
+
+        lx0 = a
+        lx1 = m_mv(a)
+        lx1 = 0.5 * m_mv(lx1) - a
+        conv = bessels[0] * lx0 - 2.0 * bessels[1] * lx1
+        for i in range(2, order):
+            lx2 = m_mv(m_mv(lx1)) - 2.0 * lx1 - lx0
+            sign = 1.0 if i % 2 == 0 else -1.0
+            conv = conv + sign * 2.0 * bessels[i] * lx2
+            lx0, lx1 = lx1, lx2
+        delta = a - conv
+        mm = delta + adj_mv(delta)        # (I + A)(a - conv), `proNE.py:118`
+        u, sv = svd_tall(mm, dim)
+        return l2_normalize_rows(u * jnp.sqrt(jnp.maximum(sv, 0.0)))
+
+    return run(a)

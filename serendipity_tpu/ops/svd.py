@@ -1,0 +1,58 @@
+"""On-device SVD primitives for the ProNE init path.
+
+Replaces `sklearn.utils.extmath.randomized_svd` (`proNE.py:37-47`) and
+`scipy.linalg.svd` (`proNE.py:49-60`) with TPU-friendly equivalents:
+
+  * `randomized_range`: subspace (power) iteration against a linear operator given as
+    matvec closures — all FLOPs are skinny matmuls/QRs that XLA maps to the MXU;
+  * `svd_tall`: QR + small-SVD factorization of a tall-skinny dense matrix (N x d with
+    d ~ 64), avoiding a full N x N decomposition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def randomized_svd_operator(
+    key: jax.Array,
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],     # X [n_cols, k] -> A @ X [n_rows, k]
+    rmatvec: Callable[[jnp.ndarray], jnp.ndarray],    # Y [n_rows, k] -> A^T @ Y [n_cols, k]
+    n_rows: int,
+    n_cols: int,
+    dim: int,
+    n_iter: int = 7,
+    oversample: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Randomized truncated SVD of an implicit operator A.
+
+    Returns (U [n_rows, dim], S [dim]).  Matches the contract of
+    `randomized_svd(n_components=dim, n_iter=5)` at `proNE.py:43` up to sign/rotation
+    ambiguity and randomized-method tolerance.
+    """
+    k = dim + oversample
+    omega = jax.random.normal(key, (n_cols, k), dtype=jnp.float32)
+    y = matvec(omega)
+    q, _ = jnp.linalg.qr(y)
+    for _ in range(n_iter):
+        z, _ = jnp.linalg.qr(rmatvec(q))
+        q, _ = jnp.linalg.qr(matvec(z))
+    b = rmatvec(q).T                              # [k, n_cols] = Q^T A
+    ub, s, _ = jnp.linalg.svd(b @ b.T)            # small k x k eigen-decomposition
+    s = jnp.sqrt(jnp.maximum(s, 0.0))
+    u = q @ ub
+    return u[:, :dim], s[:dim]
+
+
+def svd_tall(m: jnp.ndarray, dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Left singular vectors + values of a tall-skinny matrix via QR reduction."""
+    q, r = jnp.linalg.qr(m)                       # q: [N, d], r: [d, d]
+    ur, s, _ = jnp.linalg.svd(r)
+    return (q @ ur)[:, :dim], s[:dim]
+
+
+def l2_normalize_rows(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), eps)

@@ -144,7 +144,9 @@ class BPRTrainer:
                     state.best_metric = cur
                     state.best_epoch = state.epoch
                     state.stopping_step = 0
-                    best_params = jax.tree.map(lambda x: x, state.params)
+                    # real device copy — the epoch fn donates its inputs, so holding
+                    # the original buffers here would leave dangling references
+                    best_params = jax.tree.map(jnp.copy, state.params)
                 else:
                     state.stopping_step += 1
                     if state.stopping_step >= tcfg.patience:
