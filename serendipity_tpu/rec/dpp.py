@@ -1,0 +1,124 @@
+"""Greedy MAP-inference DPP diversity re-ranking, vmapped on device.
+
+Capability match for the `diversity` strategy (`recommend.py:226-284`) and the
+relevance-conditioned fusion variant (`recommend_combination.py:212-280`): greedy
+Cholesky-based DPP selection (the fast-greedy algorithm the reference implements per
+user in a Python loop) over the candidate similarity kernel
+
+    S = (1 + cos(e_i, e_j)) / 2,
+    L = diag(q) . S . diag(q),   q_i = exp(alpha * rel_i / 1e6),
+    alpha = (1 - w) / (2 w)      (`recommend_combination.py:266`)
+
+run as a `lax.fori_loop` over the K selection steps, vmapped over a user block — the
+inherently sequential-in-K algorithm parallelizes perfectly across users and across
+the C candidates inside each step (the eis update is a [C]-wide VPU op).
+
+Note: the reference composes diag(.) * S * diag(.) with ELEMENTWISE `*`
+(`recommend.py:270`, `recommend_combination.py:274`), which zeroes all off-diagonal
+entries and degenerates its DPP to index/relevance-ordered selection.  We implement
+the intended matrix kernel (Chen et al. 2018 fast greedy MAP, which the reference's
+`dpp()` body follows); set `degenerate_diag=True` to reproduce the reference's
+emergent behavior exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("k",))
+def dpp_select_kernels(
+    kernels: jnp.ndarray,                # [B, C, C] PSD L-kernels
+    k: int,
+    epsilon: float = 1e-10,
+) -> jnp.ndarray:
+    """Greedy MAP selection on explicit kernels -> [B, k] candidate positions."""
+
+    def one_user(kernel):
+        di2s = jnp.diagonal(kernel)
+
+        def body(step, state):
+            cis, di2s, selected = state
+            sel = jnp.argmax(di2s)
+            di_opt = jnp.sqrt(jnp.maximum(di2s[sel], epsilon))
+            ci_opt = cis[:, sel]                              # [k]
+            step_mask = (jnp.arange(k) < step).astype(jnp.float32)
+            elements = kernel[sel, :]
+            eis = (elements - (ci_opt * step_mask) @ cis) / di_opt
+            cis = cis.at[step, :].set(eis)
+            di2s = di2s - eis ** 2
+            di2s = di2s.at[sel].set(-jnp.inf)                 # never reselect
+            selected = selected.at[step].set(sel)
+            return cis, di2s, selected
+
+        c = kernel.shape[0]
+        cis0 = jnp.zeros((k, c), jnp.float32)
+        sel0 = jnp.zeros((k,), jnp.int32)
+        _, _, selected = jax.lax.fori_loop(0, k, body, (cis0, di2s, sel0))
+        return selected
+
+    return jax.vmap(one_user)(kernels)
+
+
+@partial(jax.jit, static_argnames=("k", "degenerate_diag"))
+def dpp_select_block(
+    cand_emb_unit: jnp.ndarray,          # [B, C, D] l2-normalized candidate embeddings
+    rel_scores: Optional[jnp.ndarray],   # [B, C] fused relevance or None
+    k: int,
+    div_weight: float = 0.5,
+    epsilon: float = 1e-10,
+    degenerate_diag: bool = False,
+) -> jnp.ndarray:
+    """Greedy DPP selection -> [B, k] positions into the candidate axis."""
+    b, c, _ = cand_emb_unit.shape
+    sim = jnp.einsum(
+        "bcd,bed->bce", cand_emb_unit, cand_emb_unit,
+        preferred_element_type=jnp.float32,
+    )
+    sim = (1.0 + sim) / 2.0                                   # `recommend.py:268`
+    if rel_scores is not None:
+        alpha = (1.0 - div_weight) / (2.0 * div_weight)
+        q = jnp.exp(alpha * rel_scores / 1e6)                 # `recommend_combination.py:266-274`
+        if degenerate_diag:
+            eye = jnp.eye(c)[None]
+            sim = eye * (q[:, :, None] * q[:, None, :]) * sim * eye
+        else:
+            sim = q[:, :, None] * sim * q[:, None, :]
+    elif degenerate_diag:
+        sim = jnp.eye(c)[None] * sim
+    return dpp_select_kernels(sim, k, epsilon)
+
+
+def dpp_rerank(
+    candidates: np.ndarray,              # [U, C] int32
+    emb_item: np.ndarray,                # [N, D]
+    k: int,
+    rel_scores: Optional[np.ndarray] = None,
+    div_weight: float = 0.5,
+    user_block: int = 64,
+    degenerate_diag: bool = False,
+) -> np.ndarray:
+    """Host driver: [U, k] selected item ids."""
+    ei = np.asarray(emb_item, np.float32)
+    ei = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+    ei_dev = jnp.asarray(ei)
+    n_users = candidates.shape[0]
+    out = np.zeros((n_users, k), np.int32)
+    for s in range(0, n_users, user_block):
+        e = min(s + user_block, n_users)
+        cand = jnp.asarray(candidates[s:e])
+        cand_emb = ei_dev[cand]
+        rel = None if rel_scores is None else jnp.asarray(rel_scores[s:e])
+        pos = np.asarray(
+            dpp_select_block(
+                cand_emb, rel, k, div_weight=div_weight,
+                degenerate_diag=degenerate_diag,
+            )
+        )
+        out[s:e] = np.take_along_axis(candidates[s:e], pos, axis=1)
+    return out

@@ -1,0 +1,59 @@
+"""Weighted multi-factor score fusion (`recommend_combination.py:442-507`).
+
+Combined score = sum_f w_f * score_f over the score-form strategies; selection is
+plain top-k, or relevance-conditioned DPP when 'div' is among the factors (with the
+fused score as the relevance signal and the 'div' weight steering the
+diversity/relevance trade-off).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from serendipity_tpu.rec.dpp import dpp_rerank
+from serendipity_tpu.rec.strategies import topk_from_scores
+
+
+def fuse_scores(
+    scores: Dict[str, np.ndarray],
+    factor_names: Sequence[str],
+    weights: Sequence[float],
+) -> np.ndarray:
+    """Weighted sum over the non-div factors (`recommend_combination.py:457-461`;
+    'div' contributes no score matrix, `recommend_combination.py:504-505`)."""
+    total = None
+    for name, w in zip(factor_names, weights):
+        if name == "div":
+            continue
+        s = scores[name] * np.float32(w)
+        total = s if total is None else total + s
+    if total is None:
+        raise ValueError("fusion needs at least one score-form factor")
+    return total
+
+
+def recommend_fused(
+    candidates: np.ndarray,
+    scores: Dict[str, np.ndarray],
+    factor_names: Sequence[str],
+    weights: Sequence[float],
+    emb_item: np.ndarray,
+    k: int = 20,
+) -> Tuple[str, np.ndarray]:
+    """Returns (combo_name, rec matrix [U, k]).
+
+    combo_name mirrors the reference file-tag scheme
+    `"{w}{name}_..."` (`recommend_combination.py:449-450`).
+    """
+    name = "_".join(f"{w}{n}" for n, w in zip(factor_names, weights))
+    fused = fuse_scores(scores, factor_names, weights)
+    if "div" in factor_names:
+        div_weight = float(weights[list(factor_names).index("div")])
+        rec = dpp_rerank(
+            candidates, emb_item, k, rel_scores=fused, div_weight=div_weight
+        )
+    else:
+        rec = topk_from_scores(fused, candidates, k)
+    return name, rec

@@ -1,0 +1,364 @@
+"""Serendipity and factor metrics + disentanglement, on device.
+
+Capability match for `utils.py` (P12): the two serendipity metrics (ser1, ser2), the
+label-based HR_ser / NDCG_ser, the four factor metrics (novelty / unpopularity /
+quality / diversity), the IQR outlier-excluded cross-method max normalization of
+`evaluate()` (`utils.py:482-697`, mem_enough path), and the pairwise strategy
+disentanglement matrices (`utils.py:344-470`).
+
+Result row layout matches the reference res matrix (`utils.py:546`, `main.py:77`):
+    [nov, unpop, qua, acc, dif, div, ser1, ser2]
+(the reference's live loop fills only columns 3/4/6/7; we fill all eight).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.ops.search import contains_in_rows
+from serendipity_tpu.rec.strategies import item_item_minmax, max_sim_to_history, padded_rows
+
+
+def exclude_outliers(data: np.ndarray) -> np.ndarray:
+    """IQR filter (`utils.py:471-481`)."""
+    q1, q3 = np.percentile(data, 25), np.percentile(data, 75)
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    return data[(data >= lo) & (data <= hi)]
+
+
+@jax.jit
+def _membership_sorted_rows(queries: jnp.ndarray, sorted_rows: jnp.ndarray) -> jnp.ndarray:
+    """queries [B, K] membership in sorted_rows [B, M] (each row sorted asc)."""
+    b, m = sorted_rows.shape
+    k = queries.shape[1]
+    flat = sorted_rows.reshape(-1)
+    base = (jnp.arange(b) * m)[:, None]
+    lo = jnp.broadcast_to(base, (b, k)).reshape(-1)
+    hi = jnp.broadcast_to(base + m, (b, k)).reshape(-1)
+    return contains_in_rows(flat, lo, hi, queries.reshape(-1)).reshape(b, k)
+
+
+class SerendipityEvaluator:
+    def __init__(
+        self,
+        inter: Interactions,
+        emb_item: np.ndarray,
+        user_block: int = 256,
+    ):
+        self.inter = inter
+        self.emb_item = np.asarray(emb_item, np.float32)
+        self.user_block = user_block
+        self.n_users, self.n_items = inter.n_users, inter.n_items
+        self.ei_dev = jnp.asarray(self.emb_item)
+        self.ei_pad = jnp.concatenate(
+            [self.ei_dev, jnp.zeros((1, self.emb_item.shape[1]))], axis=0
+        )
+        # global I.I^T min/max (`utils.py:487-529`)
+        self.ii_min, self.ii_max = item_item_minmax(self.emb_item)
+
+    # ---- ser1 ---------------------------------------------------------------
+
+    def acc_dif_arrays(self, mat_rec: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-(user, rec-slot) acc and dif (`utils.py:23-38`):
+        acc = norm(max-sim of rec item to TEST items),
+        dif = 1 - norm(max-sim of rec item to TRAIN items)."""
+        u, k = mat_rec.shape
+        acc = np.zeros((u, k), np.float32)
+        dif = np.zeros((u, k), np.float32)
+        denom = max(self.ii_max - self.ii_min, 1e-12)
+        for s in range(0, u, self.user_block):
+            e = min(s + self.user_block, u)
+            rows = np.arange(s, e)
+            rec_emb = self.ei_dev[jnp.asarray(mat_rec[s:e])]
+            te = padded_rows(
+                self.inter.test_indptr, self.inter.test_indices, rows, self.n_items
+            )
+            tr = padded_rows(
+                self.inter.train_indptr, self.inter.train_indices, rows, self.n_items
+            )
+            ms_te = np.asarray(
+                max_sim_to_history(rec_emb, jnp.asarray(te), self.ei_pad, self.n_items)
+            )
+            ms_tr = np.asarray(
+                max_sim_to_history(rec_emb, jnp.asarray(tr), self.ei_pad, self.n_items)
+            )
+            acc[s:e] = (ms_te - self.ii_min) / denom
+            dif[s:e] = 1.0 - (ms_tr - self.ii_min) / denom
+        return acc, dif
+
+    @staticmethod
+    def ser1_from_acc_dif(acc: np.ndarray, dif: np.ndarray) -> float:
+        """Harmonic mean (`utils.py:36`)."""
+        return float(np.mean(2 * acc * dif / np.maximum(acc + dif, 1e-12)))
+
+    # ---- pm baseline + ser2 -------------------------------------------------
+
+    def create_pm(self, candidates: np.ndarray, k: int = 200) -> np.ndarray:
+        """Pseudo-baseline: top k/2 by quality + top k/2 by popularity from each
+        user's candidates (`utils.py:70-114`)."""
+        from serendipity_tpu.data.datasets import derive_item_metadata
+
+        if self.inter.item_counts is None or self.inter.item_mean_ratings is None:
+            derive_item_metadata(self.inter)
+        mean_rating = np.asarray(self.inter.item_mean_ratings, np.float32)
+        counts = np.asarray(self.inter.item_counts, np.float32)
+        half = k // 2
+        qua_vals = mean_rating[candidates]
+        pop_vals = counts[candidates]
+        qua_idx = np.argsort(-qua_vals, axis=1)[:, :half]
+        pop_idx = np.argsort(-pop_vals, axis=1)[:, :half]
+        return np.concatenate(
+            [
+                np.take_along_axis(candidates, qua_idx, axis=1),
+                np.take_along_axis(candidates, pop_idx, axis=1),
+            ],
+            axis=1,
+        ).astype(np.int32)
+
+    def ser2(self, mat_rec: np.ndarray, pm: np.ndarray) -> float:
+        """Unexpectedness vs the popularity/quality baseline (`utils.py:117-142`):
+        per user, mean over rec items NOT in pm of (max-sim to train), min_dis when
+        empty; final value min-max normalized by the global I.I^T range."""
+        u, k = mat_rec.shape
+        vals = np.zeros(u, np.float32)
+        for s in range(0, u, self.user_block):
+            e = min(s + self.user_block, u)
+            rows = np.arange(s, e)
+            rec = mat_rec[s:e]
+            pm_sorted = np.sort(pm[s:e], axis=1)
+            keep = ~np.asarray(
+                _membership_sorted_rows(jnp.asarray(rec), jnp.asarray(pm_sorted))
+            )
+            rec_emb = self.ei_dev[jnp.asarray(rec)]
+            tr = padded_rows(
+                self.inter.train_indptr, self.inter.train_indices, rows, self.n_items
+            )
+            ms_tr = np.asarray(
+                max_sim_to_history(rec_emb, jnp.asarray(tr), self.ei_pad, self.n_items)
+            )
+            cnt = keep.sum(axis=1)
+            summed = (ms_tr * keep).sum(axis=1)
+            vals[s:e] = np.where(
+                cnt > 0, summed / np.maximum(cnt, 1), self.ii_min
+            )
+        return float(
+            (vals.mean() - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12)
+        )
+
+    # ---- label-based metrics ------------------------------------------------
+
+    def _test_labels(self) -> np.ndarray:
+        if self.inter.test_ser_labels is not None:
+            return np.asarray(self.inter.test_ser_labels, np.float64)
+        return np.ones(self.inter.n_test)  # unlabeled data: every test item positive
+
+    def hr_ser(
+        self, mat_rec: np.ndarray, glb_ser_score: float = 0.0, only_pos: bool = False
+    ) -> float:
+        """`HR_ser` (`utils.py:144-176`): 1 if any positively-labeled test item is in
+        the rec list; soft glb_ser_score if only negative-label test items hit."""
+        labels = self._test_labels()
+        ptr, idx = self.inter.test_indptr, self.inter.test_indices
+        out: List[float] = []
+        for u in range(self.n_users):
+            seg = slice(ptr[u], ptr[u + 1])
+            if ptr[u + 1] == ptr[u]:
+                continue
+            rec = set(mat_rec[u].tolist())
+            res = 0.0
+            for it, lab in zip(idx[seg], labels[seg]):
+                if int(it) in rec:
+                    if only_pos or lab > 0.9999:
+                        res = 1.0
+                        break
+                    res = glb_ser_score
+            out.append(res)
+        return float(np.mean(out)) if out else 0.0
+
+    def ndcg_ser(
+        self, mat_rec: np.ndarray, glb_ser_score: float = 0.0, only_pos: bool = False
+    ) -> float:
+        """`NDCG_ser` (`utils.py:180-243`): graded relevance (1 / glb / 0) per rec
+        position, gain 2^rel - 1, iDCG from the sorted relevance of the same list."""
+        labels = self._test_labels()
+        ptr, idx = self.inter.test_indptr, self.inter.test_indices
+        k = mat_rec.shape[1]
+        disc = 1.0 / np.log2(np.arange(2, k + 2))
+        out: List[float] = []
+        for u in range(self.n_users):
+            if ptr[u + 1] == ptr[u]:
+                continue
+            lab_of = {
+                int(it): (1.0 if lab > 0.9999 else (0.0 if only_pos else glb_ser_score))
+                for it, lab in zip(idx[ptr[u]:ptr[u + 1]], labels[ptr[u]:ptr[u + 1]])
+            }
+            rel = np.array([lab_of.get(int(it), 0.0) for it in mat_rec[u]])
+            gains = 2.0 ** rel - 1.0
+            dcg = float((gains * disc).sum())
+            ideal = np.sort(gains)[::-1]
+            idcg = float((ideal * disc).sum())
+            out.append(dcg / idcg if idcg > 0 else 0.0)
+        return float(np.mean(out)) if out else 0.0
+
+    # ---- factor metrics -----------------------------------------------------
+
+    def factor_metrics(self, mat_rec: np.ndarray) -> Dict[str, float]:
+        """novelty/unpopularity/quality (`utils.py:245-262`) + diversity
+        (`utils.py:265-287`)."""
+        from serendipity_tpu.data.datasets import derive_item_metadata
+
+        if self.inter.item_counts is None:
+            derive_item_metadata(self.inter)
+        out: Dict[str, float] = {}
+        flat = mat_rec.reshape(-1)
+
+        def norm_feat(f):
+            f = np.asarray(f, np.float64)
+            return (f - f.min()) / max(f.max() - f.min(), 1e-12)
+
+        dates = self.inter.item_dates
+        out["nov"] = float(norm_feat(dates)[flat].mean()) if dates is not None else 0.0
+        out["unpop"] = float((1.0 - norm_feat(self.inter.item_counts))[flat].mean())
+        mr = self.inter.item_mean_ratings
+        out["qua"] = float(norm_feat(mr)[flat].mean()) if mr is not None else 0.0
+
+        # diversity: 1 - norm(mean pairwise dot of rec embeddings), per user
+        rec_emb = self.ei_dev[jnp.asarray(mat_rec)]
+
+        @jax.jit
+        def mean_pairwise(re):
+            g = jnp.einsum("ukd,ujd->ukj", re, re, preferred_element_type=jnp.float32)
+            return jnp.mean(g, axis=(1, 2))
+
+        mp = np.asarray(mean_pairwise(rec_emb))
+        out["div"] = float(
+            np.mean(1.0 - (mp - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12))
+        )
+        return out
+
+    # ---- cross-method evaluation (`utils.py:482-697`, mem_enough path) ------
+
+    def evaluate_methods(
+        self,
+        recs: Dict[str, np.ndarray],
+        candidates: Optional[np.ndarray] = None,
+        pm: Optional[np.ndarray] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Returns per-method metric dicts with the outlier-excluded cross-method max
+        normalization of acc/dif (`utils.py:657-671`)."""
+        if pm is None:
+            if candidates is None:
+                raise ValueError("need candidates or pm for ser2")
+            pm = self.create_pm(candidates)
+
+        accs, difs = {}, {}
+        for m, rec in recs.items():
+            accs[m], difs[m] = self.acc_dif_arrays(rec)
+        acc_max = max(
+            float(np.max(exclude_outliers(a.reshape(-1)))) for a in accs.values()
+        )
+        dif_max = max(
+            float(np.max(exclude_outliers(d.reshape(-1)))) for d in difs.values()
+        )
+
+        results: Dict[str, Dict[str, float]] = {}
+        for m, rec in recs.items():
+            a = accs[m] / max(acc_max, 1e-12)
+            d = difs[m] / max(dif_max, 1e-12)
+            row = self.factor_metrics(rec)
+            row["acc"] = float(a.mean())
+            row["dif"] = float(d.mean())
+            row["ser1"] = self.ser1_from_acc_dif(a, d)
+            row["ser2"] = self.ser2(rec, pm)
+            results[m] = row
+        return results
+
+    @staticmethod
+    def result_matrix(results: Dict[str, Dict[str, float]], methods: Sequence[str]) -> np.ndarray:
+        """[n_methods, 8] in the reference column order."""
+        cols = ("nov", "unpop", "qua", "acc", "dif", "div", "ser1", "ser2")
+        return np.array(
+            [[results[m][c] for c in cols] for m in methods], dtype=np.float64
+        )
+
+    # ---- disentanglement ----------------------------------------------------
+
+    def _norm_cos_minmax(self) -> Tuple[float, float]:
+        """Global min/max of the normalized cosine-distance matrix
+        (1 - cos)/2 over all item pairs (`utils.py:496-498`)."""
+        ei = self.emb_item
+        norms = np.linalg.norm(ei, axis=1)
+        en = ei / np.maximum(norms, 1e-12)[:, None]
+        mn, mx = item_item_minmax(en)   # min/max of cosine similarity
+        return (1.0 - mx) / 2.0, (1.0 - mn) / 2.0
+
+    def disentanglement_pair(
+        self,
+        rec_a: np.ndarray,
+        rec_b: np.ndarray,
+        cos_min: float,
+        cos_max: float,
+        eps: float = 1e-4,
+    ) -> np.ndarray:
+        """cosDis_diff with userMaxDistNorm (`utils.py:438-448`): per user, the
+        normalized min-cosine-distance chamfer terms [U, 2] = (A->B, B->A)."""
+        ei = self.emb_item
+        en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+        en_dev = jnp.asarray(en.astype(np.float32))
+
+        @jax.jit
+        def chamfer(ra, rb):
+            ea = en_dev[ra]
+            eb = en_dev[rb]
+            cos = jnp.einsum("ukd,ujd->ukj", ea, eb, preferred_element_type=jnp.float32)
+            dist = (1.0 - cos) / 2.0
+            dist = jnp.where(jnp.abs(dist) <= eps, 0.0, dist)
+            dist = (dist - cos_min) / max(cos_max - cos_min, 1e-12)
+            ab = jnp.mean(jnp.min(dist, axis=2), axis=1)
+            ba = jnp.mean(jnp.min(dist, axis=1), axis=1)
+            return jnp.stack([ab, ba], axis=1)
+
+        return np.asarray(chamfer(jnp.asarray(rec_a), jnp.asarray(rec_b)))
+
+    def disentanglement_matrix(
+        self, recs: Dict[str, np.ndarray], methods: Sequence[str]
+    ) -> np.ndarray:
+        """Aggregated [M, M] matrix (`utils.py:569-597`): per-user chamfer terms,
+        normalized by each row's per-user max, symmetrized, averaged over users."""
+        cos_min, cos_max = self._norm_cos_minmax()
+        m = len(methods)
+        n_u = next(iter(recs.values())).shape[0]
+        d = np.zeros((m, m, n_u))
+        for i in range(m):
+            for j in range(i, m):
+                pair = self.disentanglement_pair(
+                    recs[methods[i]], recs[methods[j]], cos_min, cos_max
+                )
+                d[i, j] = pair[:, 0]
+                d[j, i] = pair[:, 1]
+        max_iu = np.max(d, axis=1)                       # [M, U]
+        tmp = d / np.maximum(max_iu[:, None, :], 1e-12) / 2.0
+        res = tmp.sum(axis=2) + tmp.transpose(1, 0, 2).sum(axis=2)
+        return res / n_u
+
+    @staticmethod
+    def jaccard_matrix(recs: Dict[str, np.ndarray], methods: Sequence[str]) -> np.ndarray:
+        """Mean per-user Jaccard distance between rec lists (`utils.py:344-348`)."""
+        m = len(methods)
+        out = np.zeros((m, m))
+        for i in range(m):
+            for j in range(m):
+                a, b = recs[methods[i]], recs[methods[j]]
+                dists = []
+                for ra, rb in zip(a, b):
+                    sa, sb = set(ra.tolist()), set(rb.tolist())
+                    dists.append(1.0 - len(sa & sb) / len(sa | sb))
+                out[i, j] = np.mean(dists)
+        return out

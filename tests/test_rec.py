@@ -1,0 +1,266 @@
+"""Tests for candidate generation, the eight strategies, DPP, fusion, and the
+serendipity metrics — all against brute-force numpy implementations of the reference
+semantics."""
+
+import numpy as np
+import pytest
+
+from serendipity_tpu.config import RecConfig
+from serendipity_tpu.data.datasets import derive_item_metadata
+from serendipity_tpu.rec.candidates import create_candidates, global_score_minmax
+from serendipity_tpu.rec.dpp import dpp_rerank
+from serendipity_tpu.rec.fusion import fuse_scores, recommend_fused
+from serendipity_tpu.rec.serendipity import SerendipityEvaluator, exclude_outliers
+from serendipity_tpu.rec.strategies import StrategyScorer, topk_from_scores
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    tiny = request.getfixturevalue("tiny_inter")
+    rng = np.random.default_rng(7)
+    eu = rng.standard_normal((tiny.n_users, 16)).astype(np.float32)
+    ei = rng.standard_normal((tiny.n_items, 16)).astype(np.float32)
+    # synthetic item metadata
+    tiny.item_dates = rng.uniform(0, 1000, tiny.n_items)
+    tiny.item_counts = np.diff(tiny.train_indptr_by_item).astype(np.float64)
+    tiny.item_mean_ratings = rng.uniform(1, 5, tiny.n_items)
+    cfg = RecConfig(n_candidates=40, top_k=10)
+    cand = create_candidates(tiny, eu, ei, cfg, seed=0, user_block=32)
+    return tiny, eu, ei, cfg, cand
+
+
+def test_candidates_contract(setup):
+    tiny, eu, ei, cfg, cand = setup
+    k_c = cfg.n_candidates
+    assert cand.shape == (tiny.n_users, k_c)
+    assert cand.min() >= 0 and cand.max() < tiny.n_items
+    for u in range(tiny.n_users):
+        test_items = tiny.test_items_of(u)
+        n_t = len(test_items)
+        # tail slots are exactly the test items (`recommend.py:444-451`)
+        if n_t:
+            np.testing.assert_array_equal(cand[u, k_c - n_t:], test_items)
+        # sampled slots exclude train items
+        train = set(tiny.train_items_of(u).tolist())
+        sampled = cand[u, : k_c - n_t]
+        assert not (set(sampled.tolist()) & train)
+        # sampled slots are distinct (our deviation: no duplicates)
+        assert len(set(sampled.tolist())) == k_c - n_t
+
+
+def test_candidates_stratification_proportional(setup):
+    """Bin shares among sampled candidates approximate the eligible-bin shares."""
+    tiny, eu, ei, cfg, cand = setup
+    mn, mx = global_score_minmax(jnp.asarray(eu), jnp.asarray(ei))
+    mx += cfg.bin_epsilon
+    inter_w = (mx - mn) / cfg.n_score_bins
+    scores = (eu @ ei.T).astype(np.float16).astype(np.float32)
+    labels = np.clip(np.floor((scores - mn) / inter_w), 0, cfg.n_score_bins - 1)
+    u = 0
+    n_t = len(tiny.test_items_of(u))
+    samp = cand[u, : cfg.n_candidates - n_t]
+    elig = np.setdiff1d(np.arange(tiny.n_items), tiny.train_items_of(u))
+    elig_share = np.bincount(labels[u, elig].astype(int), minlength=10) / len(elig)
+    samp_share = np.bincount(labels[u, samp].astype(int), minlength=10) / len(samp)
+    assert np.abs(elig_share - samp_share).max() < 0.15
+
+
+def test_feature_strategies_match_numpy(setup):
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+
+    def ref_minmax(vals):
+        mn = vals.min(1, keepdims=True)
+        mx = vals.max(1, keepdims=True)
+        return (vals - mn) / np.maximum(mx - mn, 1e-12)
+
+    np.testing.assert_allclose(sc.nov(), ref_minmax(tiny.item_dates[cand]), rtol=1e-5)
+    np.testing.assert_allclose(sc.pop(), ref_minmax(-tiny.item_counts[cand]), rtol=1e-5)
+    np.testing.assert_allclose(
+        sc.qua(), ref_minmax(tiny.item_mean_ratings[cand]), rtol=1e-5
+    )
+    raw_ref = np.einsum("ud,ucd->uc", eu, ei[cand])
+    np.testing.assert_allclose(sc.acc_raw(), raw_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sc.acc(), ref_minmax(raw_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_ela_matches_reference_formula(setup):
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    raw = np.einsum("ud,ucd->uc", eu, ei[cand])
+    ui = eu @ ei.T
+    mn, mx = ui.min(), ui.max()
+    deg = np.diff(tiny.train_indptr).astype(np.float64)
+    ela_u = (deg - deg.min()) / (deg.max() - deg.min())
+    factor = (raw - mn) / (mx - mn) + ela_u[:, None]
+    mean_f = factor.mean()
+    scores = -np.abs(factor - mean_f)
+    smn, smx = scores.min(1, keepdims=True), scores.max(1, keepdims=True)
+    ref = (scores - smn) / np.maximum(smx - smn, 1e-12)
+    np.testing.assert_allclose(sc.ela(), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_dif_matches_bruteforce(setup):
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    got = sc.dif()
+    ii = ei @ ei.T
+    mn, mx = ii.min(), ii.max()
+    for u in (0, 5, 17):
+        tr = tiny.train_items_of(u)
+        ms = (ei[cand[u]] @ ei[tr].T).max(axis=1)
+        ref = 1 - (ms - mn) / (mx - mn)
+        np.testing.assert_allclose(got[u], ref, rtol=1e-4, atol=1e-4)
+
+
+def _greedy_dpp_numpy(kernel, k, epsilon=1e-10):
+    """Numpy transliteration of the fast greedy MAP loop (`recommend.py:226-258`,
+    matrix-kernel semantics)."""
+    c = kernel.shape[0]
+    cis = np.zeros((k, c))
+    di2s = np.diag(kernel).copy()
+    sel = [int(np.argmax(di2s))]
+    di2s_work = di2s.copy()
+    while len(sel) < k:
+        j = len(sel) - 1
+        s = sel[-1]
+        di_opt = np.sqrt(max(di2s_work[s], epsilon))
+        eis = (kernel[s] - cis[:j].T @ cis[:j, s]) / di_opt
+        cis[j] = eis
+        di2s_work -= eis ** 2
+        di2s_work[s] = -np.inf
+        sel.append(int(np.argmax(di2s_work)))
+    return sel
+
+
+def test_dpp_matches_numpy():
+    """Greedy MAP selection parity on explicit PSD kernels with well-separated
+    diagonals (ties in the all-ones cosine diagonal would make the comparison
+    ULP-chaotic, so we test the selector on decisive kernels)."""
+    from serendipity_tpu.rec.dpp import dpp_select_kernels
+
+    rng = np.random.default_rng(5)
+    b, c, k = 3, 30, 8
+    kernels = []
+    for _ in range(b):
+        f = rng.standard_normal((c, 12))
+        f *= rng.uniform(0.5, 2.0, (c, 1))       # distinct diagonal magnitudes
+        kernels.append(f @ f.T / 12)
+    kernels = np.stack(kernels).astype(np.float32)
+    got = np.asarray(dpp_select_kernels(jnp.asarray(kernels), k))
+    for u in range(b):
+        sel = _greedy_dpp_numpy(kernels[u].astype(np.float64), k)
+        np.testing.assert_array_equal(got[u], sel)
+
+
+def test_dpp_rerank_valid(setup):
+    """End-to-end rerank: distinct selections drawn from the candidate list."""
+    tiny, eu, ei, cfg, cand = setup
+    k = 8
+    got = dpp_rerank(cand[:4], ei, k, user_block=4)
+    for u in range(4):
+        assert len(set(got[u].tolist())) == k
+        assert set(got[u].tolist()) <= set(cand[u].tolist())
+
+
+def test_fusion_and_topk(setup):
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    scores = sc.all_scores(seed=1)
+    fused = fuse_scores(scores, ["acc", "nov"], [0.7, 0.3])
+    np.testing.assert_allclose(
+        fused, 0.7 * scores["acc"] + 0.3 * scores["nov"], rtol=1e-6
+    )
+    name, rec = recommend_fused(cand, scores, ["acc", "nov"], [0.7, 0.3], ei, k=10)
+    assert name == "0.7acc_0.3nov"
+    ref = topk_from_scores(fused, cand, 10)
+    np.testing.assert_array_equal(rec, ref)
+    # every user's top-1 really is the argmax of fused score
+    top1 = cand[np.arange(len(cand)), np.argmax(fused, axis=1)]
+    np.testing.assert_array_equal(rec[:, 0], top1)
+
+
+def test_ser1_acc_dif_bruteforce(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    rec = cand[:, :10]
+    acc, dif = ev.acc_dif_arrays(rec)
+    ii = ei @ ei.T
+    mn, mx = ii.min(), ii.max()
+    for u in (0, 3, 11):
+        te = tiny.test_items_of(u)
+        tr = tiny.train_items_of(u)
+        acc_ref = ((ei[rec[u]] @ ei[te].T).max(1) - mn) / (mx - mn)
+        dif_ref = 1 - ((ei[rec[u]] @ ei[tr].T).max(1) - mn) / (mx - mn)
+        np.testing.assert_allclose(acc[u], acc_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(dif[u], dif_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ser2_bruteforce(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    rec = cand[:, :10]
+    pm = ev.create_pm(cand, k=20)
+    got = ev.ser2(rec, pm)
+    ii = ei @ ei.T
+    mn, mx = ii.min(), ii.max()
+    vals = []
+    for u in range(tiny.n_users):
+        keep = [it for it in rec[u] if it not in set(pm[u].tolist())]
+        tr = tiny.train_items_of(u)
+        if keep:
+            vals.append((ei[keep] @ ei[tr].T).max(1).mean())
+        else:
+            vals.append(mn)
+    ref = (np.mean(vals) - mn) / (mx - mn)
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_hr_ndcg_ser(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei)
+    # craft a rec matrix: user 0 gets their first test item in slot 0
+    rec = np.full((tiny.n_users, 5), tiny.n_items - 1, dtype=np.int32)
+    rec[0, 0] = tiny.test_items_of(0)[0]
+    hr = ev.hr_ser(rec)
+    users_with_test = (np.diff(tiny.test_indptr) > 0).sum()
+    # at least user 0 hits; others hit only if n_items-1 is one of their test items
+    assert hr >= 1.0 / users_with_test - 1e-9
+    nd = ev.ndcg_ser(rec)
+    assert 0.0 <= nd <= 1.0
+
+
+def test_evaluate_methods_and_disentanglement(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    scores = sc.all_scores(seed=3)
+    recs = {
+        "acc": topk_from_scores(scores["acc"], cand, 10),
+        "nov": topk_from_scores(scores["nov"], cand, 10),
+    }
+    res = ev.evaluate_methods(recs, candidates=cand)
+    mat = ev.result_matrix(res, ["acc", "nov"])
+    assert mat.shape == (2, 8)
+    assert np.isfinite(mat).all()
+    # normalized acc/dif means live in (0, 1]
+    for m in ("acc", "nov"):
+        assert 0.0 < res[m]["acc"] <= 1.0
+        assert 0.0 < res[m]["dif"] <= 1.0
+        assert 0.0 < res[m]["ser1"] <= 1.0
+
+    d = ev.disentanglement_matrix(recs, ["acc", "nov"])
+    assert d.shape == (2, 2)
+    # self-disentanglement (identical lists) is ~0; cross should exceed it
+    assert d[0, 1] > d[0, 0] - 1e-9
+
+    j = ev.jaccard_matrix(recs, ["acc", "nov"])
+    assert j[0, 0] == 0.0 and 0.0 <= j[0, 1] <= 1.0
+
+
+def test_exclude_outliers():
+    data = np.array([1.0, 1.1, 0.9, 1.05, 50.0, -40.0])
+    kept = exclude_outliers(data)
+    assert 50.0 not in kept and -40.0 not in kept and len(kept) == 4
