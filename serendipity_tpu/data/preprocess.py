@@ -1,0 +1,230 @@
+"""Raw-interaction preprocessing: k-core filtering, id remapping, splits, exports.
+
+Capability match for `rating_data_process.py` (P2): from raw (user, item, rating,
+timestamp[, serendipity-label]) interaction arrays produce the framework's datasets
+and every on-disk format the reference pipeline consumes:
+
+  * iterative k-core filtering (`filter_k_core_precise`, :22-65; the fast 2-pass
+    variant `filter_k_core_fast`, :11-21, is `iterations=1`)
+  * dense id remapping over sorted unique raw ids
+  * per-user temporal 0.8/0.2 split with >=1 train row (`generateSerData:321-324`:
+    split_index = max(1, int(len * ratio)))
+  * leave-last-serendipitous-out split when labels are present (`:328-338`)
+  * exports: train.txt/test.txt adjacency lists (`generateLightgcn`, :177-291),
+    rating{,_train,_test}.csv + item.csv + user.csv (`generateSerData`, :293-389),
+    and the ProNE edge list with item ids offset by n_users (`serData2proNE`, :97-109)
+
+The hot loops (k-core peeling, CSR building, text parsing) run in the native C++
+runtime when available (`serendipity_tpu.utils.native`), numpy otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from serendipity_tpu.data.datasets import Interactions, interactions_from_arrays
+from serendipity_tpu.utils import native
+
+
+@dataclass
+class RawInteractions:
+    users: np.ndarray         # raw user ids (any integer/str-hashed dtype)
+    items: np.ndarray
+    ratings: np.ndarray
+    timestamps: np.ndarray
+    ser_labels: Optional[np.ndarray] = None
+
+
+def k_core(
+    raw: RawInteractions, k_user: int, k_item: int
+) -> RawInteractions:
+    """Iterative degree peeling until every user and item has >= k interactions."""
+    uu, uinv = np.unique(raw.users, return_inverse=True)
+    ii, iinv = np.unique(raw.items, return_inverse=True)
+    keep = native.k_core_filter(
+        uinv.astype(np.int32), iinv.astype(np.int32), len(uu), len(ii),
+        k_user, k_item,
+    )
+    return RawInteractions(
+        users=raw.users[keep],
+        items=raw.items[keep],
+        ratings=raw.ratings[keep],
+        timestamps=raw.timestamps[keep],
+        ser_labels=None if raw.ser_labels is None else raw.ser_labels[keep],
+    )
+
+
+def remap_ids(raw: RawInteractions) -> Tuple[RawInteractions, np.ndarray, np.ndarray]:
+    """Dense remap over sorted unique ids -> (remapped, user_vocab, item_vocab)."""
+    uu, uinv = np.unique(raw.users, return_inverse=True)
+    ii, iinv = np.unique(raw.items, return_inverse=True)
+    return (
+        RawInteractions(
+            users=uinv.astype(np.int64),
+            items=iinv.astype(np.int64),
+            ratings=raw.ratings,
+            timestamps=raw.timestamps,
+            ser_labels=raw.ser_labels,
+        ),
+        uu,
+        ii,
+    )
+
+
+def temporal_split(
+    raw: RawInteractions, train_ratio: float = 0.8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-user temporal split -> (train_mask, test_mask).
+
+    Rows are ordered by (user, timestamp, original order); the first
+    max(1, int(n * ratio)) go to train.  Users whose interactions all fall in
+    train (n == 1) contribute no test rows (the reference exits on such users;
+    we keep them trainable and testless).
+    """
+    n = len(raw.users)
+    order = np.lexsort((np.arange(n), raw.timestamps, raw.users))
+    users_sorted = raw.users[order]
+    train_mask = np.zeros(n, bool)
+    starts = np.searchsorted(users_sorted, np.unique(users_sorted), side="left")
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        cnt = e - s
+        k = max(1, int(cnt * train_ratio))
+        train_mask[order[s:s + k]] = True
+    return train_mask, ~train_mask
+
+
+def ser_label_split(raw: RawInteractions) -> Tuple[np.ndarray, np.ndarray]:
+    """Leave-last-serendipitous-out (`generateSerData:328-338`): per user the LAST
+    row with serLabel > 0.99 becomes the single test row; everything else trains."""
+    if raw.ser_labels is None:
+        raise ValueError("ser_label_split needs ser_labels")
+    n = len(raw.users)
+    order = np.lexsort((np.arange(n), raw.timestamps, raw.users))
+    test_mask = np.zeros(n, bool)
+    users_sorted = raw.users[order]
+    starts = np.searchsorted(users_sorted, np.unique(users_sorted), side="left")
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        rows = order[s:e]
+        pos = rows[raw.ser_labels[rows] > 0.99]
+        if len(pos):
+            test_mask[pos[-1]] = True
+    return ~test_mask, test_mask
+
+
+def build_interactions(
+    raw: RawInteractions,
+    k_user: int = 10,
+    k_item: int = 10,
+    train_ratio: float = 0.8,
+    use_ser_labels: bool = False,
+) -> Tuple[Interactions, np.ndarray, np.ndarray]:
+    """Full pipeline: k-core -> remap -> split -> Interactions (+ vocabularies)."""
+    filtered = k_core(raw, k_user, k_item)
+    remapped, uvocab, ivocab = remap_ids(filtered)
+    if use_ser_labels:
+        tr, te = ser_label_split(remapped)
+    else:
+        tr, te = temporal_split(remapped, train_ratio)
+    inter = interactions_from_arrays(
+        remapped.users[tr], remapped.items[tr],
+        remapped.users[te], remapped.items[te],
+        n_users=len(uvocab), n_items=len(ivocab),
+        train_ratings=remapped.ratings[tr],
+        train_timestamps=remapped.timestamps[tr],
+        test_ser_labels=None
+        if remapped.ser_labels is None
+        else remapped.ser_labels[te],
+    )
+    from serendipity_tpu.data.datasets import derive_item_metadata
+
+    derive_item_metadata(inter)
+    return inter, uvocab, ivocab
+
+
+# ---------------------------------------------------------------------------
+# Exports (the reference's on-disk formats)
+
+def export_adjacency_lists(inter: Interactions, path: str) -> None:
+    """train.txt / test.txt in the `uid i1 i2 ...` format."""
+    os.makedirs(path, exist_ok=True)
+    for fname, ptr, idx in (
+        ("train.txt", inter.train_indptr, inter.train_indices),
+        ("test.txt", inter.test_indptr, inter.test_indices),
+    ):
+        with open(os.path.join(path, fname), "w") as f:
+            for u in range(inter.n_users):
+                row = idx[ptr[u]:ptr[u + 1]]
+                if len(row) == 0 and fname == "test.txt":
+                    continue
+                f.write(" ".join([str(u)] + [str(int(i)) for i in row]) + "\n")
+
+
+def export_serendipity_csvs(
+    inter: Interactions,
+    path: str,
+    uvocab: Optional[np.ndarray] = None,
+    ivocab: Optional[np.ndarray] = None,
+) -> None:
+    """rating_train.csv / rating_test.csv / rating.csv / item.csv / user.csv with the
+    `generateSerData` schema."""
+    os.makedirs(path, exist_ok=True)
+    has_ser = inter.test_ser_labels is not None
+
+    def rows_of(ptr, idx, ratings, timestamps, labels):
+        users = np.repeat(np.arange(inter.n_users), np.diff(ptr))
+        r = ratings if ratings is not None else np.zeros(len(idx))
+        t = timestamps if timestamps is not None else np.zeros(len(idx))
+        out = [users, idx, r, t]
+        if has_ser:
+            out.append(labels if labels is not None else np.ones(len(idx)))
+        return out
+
+    header = "userInd,itemInd,rating,timestamp" + (",serLabel" if has_ser else "")
+
+    def write(fname, cols):
+        with open(os.path.join(path, fname), "w") as f:
+            f.write(header + "\n")
+            for row in zip(*cols):
+                f.write(",".join(str(x) for x in row) + "\n")
+
+    tr_cols = rows_of(
+        inter.train_indptr, inter.train_indices,
+        inter.train_ratings, inter.train_timestamps, None,
+    )
+    te_cols = rows_of(
+        inter.test_indptr, inter.test_indices, None, None, inter.test_ser_labels
+    )
+    write("rating_train.csv", tr_cols)
+    write("rating_test.csv", te_cols)
+    write("rating.csv", [np.concatenate([a, b]) for a, b in zip(tr_cols, te_cols)])
+
+    from serendipity_tpu.data.datasets import derive_item_metadata
+
+    if inter.item_counts is None:
+        derive_item_metadata(inter)
+    with open(os.path.join(path, "item.csv"), "w") as f:
+        f.write("itemInd,date,count,itemId\n")
+        for i in range(inter.n_items):
+            date = inter.item_dates[i] if inter.item_dates is not None else 0.0
+            raw_id = ivocab[i] if ivocab is not None else i
+            f.write(f"{i},{date},{inter.item_counts[i]},{raw_id}\n")
+    with open(os.path.join(path, "user.csv"), "w") as f:
+        f.write("num_item\n")
+        for d in np.diff(inter.train_indptr):
+            f.write(f"{d}\n")
+
+
+def export_prone_graph(inter: Interactions, path: str) -> None:
+    """ProNE edge list: `userInd itemInd+n_users` per train interaction
+    (`serData2proNE`, `rating_data_process.py:97-109`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    users, items = inter.train_user_item_pairs()
+    with open(path, "w") as f:
+        for u, i in zip(users, items):
+            f.write(f"{u} {i + inter.n_users}\n")

@@ -1,0 +1,87 @@
+"""Preprocessing pipeline tests: k-core, splits, exports round-trip."""
+
+import numpy as np
+import pytest
+
+from serendipity_tpu.data.datasets import load_adjacency_list, load_serendipity_csv
+from serendipity_tpu.data.preprocess import (
+    RawInteractions,
+    build_interactions,
+    export_adjacency_lists,
+    export_prone_graph,
+    export_serendipity_csvs,
+    ser_label_split,
+    temporal_split,
+)
+
+
+@pytest.fixture()
+def raw():
+    rng = np.random.default_rng(0)
+    n = 3000
+    return RawInteractions(
+        users=rng.integers(100, 160, n),
+        items=rng.integers(1000, 1120, n),
+        ratings=rng.uniform(1, 5, n),
+        timestamps=rng.uniform(0, 1e6, n),
+        ser_labels=(rng.random(n) > 0.7).astype(float),
+    )
+
+
+def test_build_interactions_kcore_and_split(raw):
+    inter, uvocab, ivocab = build_interactions(raw, k_user=5, k_item=5)
+    assert inter.n_users == len(uvocab) and inter.n_items == len(ivocab)
+    deg_u = np.diff(inter.train_indptr) + np.diff(inter.test_indptr)
+    assert deg_u[deg_u > 0].min() >= 5
+    # per-user ~0.8 split with at least 1 train row
+    tr_deg = np.diff(inter.train_indptr)
+    te_deg = np.diff(inter.test_indptr)
+    active = (tr_deg + te_deg) > 0
+    assert (tr_deg[active] >= 1).all()
+    ratio = tr_deg[active] / (tr_deg + te_deg)[active]
+    assert abs(ratio.mean() - 0.8) < 0.05
+
+
+def test_temporal_split_ordering(raw):
+    tr, te = temporal_split(raw, 0.8)
+    assert (tr | te).all() and not (tr & te).any()
+    # within each user, every train timestamp <= min test timestamp is not required
+    # (ties), but the count contract is: n_train = max(1, int(n * 0.8))
+    for u in np.unique(raw.users)[:10]:
+        m = raw.users == u
+        n = m.sum()
+        assert tr[m].sum() == max(1, int(n * 0.8))
+        # max train ts <= min test ts given distinct timestamps
+        if te[m].any():
+            assert raw.timestamps[m & tr].max() <= raw.timestamps[m & te].min()
+
+
+def test_ser_label_split(raw):
+    tr, te = ser_label_split(raw)
+    for u in np.unique(raw.users)[:10]:
+        m = np.nonzero(raw.users == u)[0]
+        pos = m[raw.ser_labels[m] > 0.99]
+        if len(pos):
+            order = pos[np.argsort(raw.timestamps[pos], kind="stable")]
+            assert te[order[-1]]
+            assert te[m].sum() == 1
+
+
+def test_export_roundtrip(raw, tmp_path):
+    inter, uvocab, ivocab = build_interactions(raw, k_user=5, k_item=5)
+    export_adjacency_lists(inter, str(tmp_path))
+    back = load_adjacency_list(str(tmp_path))
+    assert back.n_users == inter.n_users
+    np.testing.assert_array_equal(back.train_indices, inter.train_indices)
+    np.testing.assert_array_equal(back.test_indptr, inter.test_indptr)
+
+    export_serendipity_csvs(inter, str(tmp_path), uvocab, ivocab)
+    back2 = load_serendipity_csv(str(tmp_path))
+    np.testing.assert_array_equal(back2.train_indices, inter.train_indices)
+    np.testing.assert_array_equal(back2.test_indices, inter.test_indices)
+    np.testing.assert_allclose(back2.item_counts, inter.item_counts)
+
+    export_prone_graph(inter, str(tmp_path / "proNE_ui_graph.txt"))
+    edges = np.loadtxt(tmp_path / "proNE_ui_graph.txt", dtype=np.int64)
+    assert len(edges) == inter.n_train
+    assert edges[:, 1].min() >= inter.n_users
