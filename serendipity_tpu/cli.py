@@ -1,0 +1,178 @@
+"""Command-line interface.
+
+    python -m serendipity_tpu.cli train data.path=... model.n_layers=4
+    python -m serendipity_tpu.cli prone data.path=...
+    python -m serendipity_tpu.cli pipeline data.path=... [--embeddings DIR]
+    python -m serendipity_tpu.cli preprocess --input raw.csv --output DIR ...
+    python -m serendipity_tpu.cli eval data.path=... --embeddings DIR
+
+One config tree + dotted overrides everywhere (replaces the reference's three
+argparse parsers and hand-edited driver lists, SURVEY.md §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from serendipity_tpu.config import ExperimentConfig, apply_overrides
+
+
+def _cfg(overrides: List[str]) -> ExperimentConfig:
+    return apply_overrides(ExperimentConfig(), overrides)
+
+
+def cmd_train(args) -> None:
+    from serendipity_tpu.train.runner import run_training
+
+    cfg = _cfg(args.overrides)
+    pretrained = None
+    if args.pretrained:
+        pretrained = (
+            np.load(os.path.join(args.pretrained, "emb_user.npy")),
+            np.load(os.path.join(args.pretrained, "emb_item.npy")),
+        )
+    run_training(cfg, pretrained=pretrained)
+
+
+def cmd_prone(args) -> None:
+    from serendipity_tpu.data.datasets import load_adjacency_list
+    from serendipity_tpu.models.prone import prone_embeddings
+    from serendipity_tpu.train.runner import load_dataset
+
+    cfg = _cfg(args.overrides)
+    inter = load_dataset(cfg)
+    emb_u, emb_i = prone_embeddings(inter, cfg.prone, seed=cfg.train.seed)
+    out = os.path.join(cfg.out_dir, cfg.data.name)
+    os.makedirs(out, exist_ok=True)
+    np.save(os.path.join(out, "emb_user_proNE.npy"), emb_u)
+    np.save(os.path.join(out, "emb_item_proNE.npy"), emb_i)
+    print(f"saved ProNE embeddings to {out} ({emb_u.shape}, {emb_i.shape})")
+
+
+def cmd_pipeline(args) -> None:
+    from serendipity_tpu.pipeline import run_study
+    from serendipity_tpu.train.runner import load_dataset, run_training
+
+    cfg = _cfg(args.overrides)
+    inter = load_dataset(cfg)
+    if args.embeddings:
+        emb_u = np.load(os.path.join(args.embeddings, "emb_user.npy"))
+        emb_i = np.load(os.path.join(args.embeddings, "emb_item.npy"))
+    else:
+        res = run_training(cfg, inter=inter)
+        emb_u, emb_i = res["emb_user"], res["emb_item"]
+    fusion_specs = None
+    if args.fuse:
+        fusion_specs = []
+        for spec in args.fuse:           # e.g. "acc:0.5,nov:0.5"
+            names, weights = [], []
+            for part in spec.split(","):
+                n, w = part.split(":")
+                names.append(n)
+                weights.append(float(w))
+            fusion_specs.append((names, weights))
+    out_dir = os.path.join(cfg.out_dir, cfg.data.name)
+    run_study(
+        inter, emb_u, emb_i, cfg, out_dir=out_dir, fusion_specs=fusion_specs,
+        compute_disentanglement=args.disentanglement,
+    )
+    print(f"study results under {out_dir}/res")
+
+
+def cmd_preprocess(args) -> None:
+    from serendipity_tpu.data.preprocess import (
+        RawInteractions, build_interactions,
+        export_adjacency_lists, export_prone_graph, export_serendipity_csvs,
+    )
+    from serendipity_tpu.utils.native import parse_rating_csv
+
+    cfg = _cfg(args.overrides)
+    cols = parse_rating_csv(args.input)
+    if cols is None:
+        import numpy.lib.recfunctions  # noqa: F401
+        raw_arr = np.genfromtxt(
+            args.input, delimiter=",", names=True, dtype=None, encoding="utf-8"
+        )
+        cols = {n: np.atleast_1d(raw_arr[n]) for n in raw_arr.dtype.names}
+    raw = RawInteractions(
+        users=cols["userInd"],
+        items=cols["itemInd"],
+        ratings=cols.get("rating", np.zeros(len(cols["userInd"]))),
+        timestamps=cols.get("timestamp", np.arange(len(cols["userInd"]))),
+        ser_labels=cols.get("serLabel"),
+    )
+    inter, uvocab, ivocab = build_interactions(
+        raw, k_user=cfg.data.k_core, k_item=cfg.data.k_core,
+        train_ratio=cfg.data.train_ratio, use_ser_labels=args.ser_split,
+    )
+    export_adjacency_lists(inter, args.output)
+    export_serendipity_csvs(inter, args.output, uvocab, ivocab)
+    export_prone_graph(inter, os.path.join(args.output, "proNE_ui_graph.txt"))
+    print(
+        f"{args.output}: {inter.n_users} users, {inter.n_items} items, "
+        f"{inter.n_train} train / {inter.n_test} test interactions"
+    )
+
+
+def cmd_eval(args) -> None:
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.evaluator import Evaluator
+    from serendipity_tpu.train.runner import build_model, load_dataset
+
+    cfg = _cfg(args.overrides)
+    inter = load_dataset(cfg)
+    emb_u = np.load(os.path.join(args.embeddings, "emb_user.npy"))
+    emb_i = np.load(os.path.join(args.embeddings, "emb_item.npy"))
+    data = build_device_data(inter)
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    import jax.numpy as jnp
+
+    ev = Evaluator(model, data, inter, cfg.eval)
+    metrics = ev.evaluate(None, all_emb=(jnp.asarray(emb_u), jnp.asarray(emb_i)))
+    for k, v in metrics.items():
+        print(f"{k} = {v:.5f}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="serendipity_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("train", help="train an embedding model (BPR)")
+    sp.add_argument("--pretrained", help="dir with emb_user.npy/emb_item.npy init")
+    sp.add_argument("overrides", nargs="*", help="dotted key=value config overrides")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("prone", help="compute ProNE spectral embeddings")
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_prone)
+
+    sp = sub.add_parser("pipeline", help="full serendipity study")
+    sp.add_argument("--embeddings", help="dir with trained emb_user/item.npy")
+    sp.add_argument("--fuse", action="append", help='fusion spec "acc:0.5,nov:0.5"')
+    sp.add_argument("--disentanglement", action="store_true")
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("preprocess", help="k-core filter + split + export a raw CSV")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--ser-split", action="store_true", dest="ser_split")
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("eval", help="rank-metric evaluation of stored embeddings")
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

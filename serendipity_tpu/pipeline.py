@@ -1,0 +1,143 @@
+"""End-to-end serendipity study orchestration.
+
+Role of the reference's hand-edited `main.py` (P1): per seed, generate candidates,
+run every strategy (+ optional weighted fusions), evaluate all serendipity/factor
+metrics, and aggregate mean/std across seeds (`utils.sum_res_all_seed`,
+`utils.py:290-342`).  Everything flows through in-memory arrays; per-seed artifacts
+are saved under `<out_dir>/rec/<seed>/` with the reference's file names so existing
+analysis tooling maps 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from serendipity_tpu.config import ExperimentConfig
+from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.rec.candidates import create_candidates
+from serendipity_tpu.rec.dpp import dpp_rerank
+from serendipity_tpu.rec.fusion import recommend_fused
+from serendipity_tpu.rec.serendipity import SerendipityEvaluator
+from serendipity_tpu.rec.strategies import StrategyScorer, topk_from_scores
+
+
+METHOD_ORDER = ("rand", "nov", "pop", "qua", "ela", "acc", "div", "dif")
+RESULT_COLUMNS = ("nov", "unpop", "qua", "acc", "dif", "div", "ser1", "ser2")
+
+
+def run_seed(
+    inter: Interactions,
+    emb_user: np.ndarray,
+    emb_item: np.ndarray,
+    cfg: ExperimentConfig,
+    seed: int,
+    evaluator: Optional[SerendipityEvaluator] = None,
+    fusion_specs: Optional[Sequence[Tuple[Sequence[str], Sequence[float]]]] = None,
+    out_dir: Optional[str] = None,
+    compute_disentanglement: bool = False,
+) -> Dict:
+    """One seed of the study: candidates -> strategies -> metrics."""
+    rcfg = cfg.rec
+    k = rcfg.top_k
+    cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
+    scorer = StrategyScorer(inter, emb_user, emb_item, cand)
+    scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
+
+    recs: Dict[str, np.ndarray] = {}
+    for m in rcfg.strategies:
+        if m == "div":
+            recs[m] = dpp_rerank(cand, emb_item, k)
+        else:
+            recs[m] = topk_from_scores(scores[m], cand, k)
+
+    fused_names: List[str] = []
+    if fusion_specs:
+        for names, weights in fusion_specs:
+            name, rec = recommend_fused(cand, scores, names, weights, emb_item, k)
+            recs[name] = rec
+            fused_names.append(name)
+
+    if evaluator is None:
+        evaluator = SerendipityEvaluator(inter, emb_item)
+    results = evaluator.evaluate_methods(recs, candidates=cand)
+    methods = [m for m in rcfg.strategies] + fused_names
+    mat = evaluator.result_matrix(results, methods)
+
+    disent = None
+    if compute_disentanglement:
+        disent = evaluator.disentanglement_matrix(recs, methods)
+
+    if out_dir:
+        seed_dir = os.path.join(out_dir, "rec", str(seed))
+        os.makedirs(seed_dir, exist_ok=True)
+        np.save(os.path.join(seed_dir, "candidate.npy"), cand)
+        for m, r in recs.items():
+            np.save(os.path.join(seed_dir, f"rec_{m}.npy"), r)
+        np.save(os.path.join(seed_dir, "single_factor_res.npy"), mat)
+        if disent is not None:
+            np.save(os.path.join(seed_dir, "single_factor_disent_dif_mat.npy"), disent)
+    return {
+        "candidates": cand,
+        "recs": recs,
+        "results": results,
+        "matrix": mat,
+        "methods": methods,
+        "disentanglement": disent,
+    }
+
+
+def run_study(
+    inter: Interactions,
+    emb_user: np.ndarray,
+    emb_item: np.ndarray,
+    cfg: ExperimentConfig,
+    out_dir: Optional[str] = None,
+    fusion_specs: Optional[Sequence[Tuple[Sequence[str], Sequence[float]]]] = None,
+    compute_disentanglement: bool = False,
+    log_fn=print,
+) -> Dict:
+    """All seeds + mean/std aggregation (`sum_res_all_seed` contract)."""
+    evaluator = SerendipityEvaluator(inter, emb_item)
+    mats, disents = [], []
+    methods = None
+    for seed in cfg.rec.seeds:
+        log_fn(f"seed {seed} ...")
+        res = run_seed(
+            inter, emb_user, emb_item, cfg, seed,
+            evaluator=evaluator, fusion_specs=fusion_specs, out_dir=out_dir,
+            compute_disentanglement=compute_disentanglement,
+        )
+        mats.append(res["matrix"])
+        methods = res["methods"]
+        if res["disentanglement"] is not None:
+            disents.append(res["disentanglement"])
+    stack = np.stack(mats, axis=-1)
+    mean, std = stack.mean(axis=-1), stack.std(axis=-1)
+    out = {"methods": methods, "columns": list(RESULT_COLUMNS), "mean": mean, "std": std}
+    if disents:
+        out["disent_mean"] = np.stack(disents, -1).mean(-1)
+    if out_dir:
+        res_dir = os.path.join(out_dir, "res")
+        os.makedirs(res_dir, exist_ok=True)
+        np.save(os.path.join(res_dir, "single_factor_res_mean.npy"), mean)
+        np.save(os.path.join(res_dir, "single_factor_res_std.npy"), std)
+        if disents:
+            np.save(
+                os.path.join(res_dir, "single_factor_disent_dif_mat.npy"),
+                out["disent_mean"],
+            )
+        with open(os.path.join(res_dir, "summary.json"), "w") as f:
+            json.dump(
+                {
+                    "methods": methods,
+                    "columns": list(RESULT_COLUMNS),
+                    "mean": mean.tolist(),
+                    "std": std.tolist(),
+                },
+                f, indent=2,
+            )
+    return out

@@ -1,0 +1,47 @@
+"""Integration: the full serendipity study on the tiny fixture, including artifact
+layout and cross-seed aggregation."""
+
+import os
+
+import numpy as np
+
+from serendipity_tpu.config import ExperimentConfig, apply_overrides
+from serendipity_tpu.pipeline import RESULT_COLUMNS, run_study
+
+
+def test_run_study(tiny_inter, tmp_path):
+    rng = np.random.default_rng(0)
+    eu = rng.standard_normal((tiny_inter.n_users, 16)).astype(np.float32)
+    ei = rng.standard_normal((tiny_inter.n_items, 16)).astype(np.float32)
+    tiny_inter.item_dates = rng.uniform(0, 100, tiny_inter.n_items)
+    tiny_inter.item_counts = np.diff(tiny_inter.train_indptr_by_item).astype(float)
+    tiny_inter.item_mean_ratings = rng.uniform(1, 5, tiny_inter.n_items)
+
+    cfg = ExperimentConfig()
+    cfg = apply_overrides(
+        cfg,
+        ["rec.n_candidates=30", "rec.top_k=5", "rec.seeds=(1, 2)"],
+    )
+    out = run_study(
+        tiny_inter, eu, ei, cfg,
+        out_dir=str(tmp_path),
+        fusion_specs=[(("acc", "nov"), (0.5, 0.5)), (("acc", "div"), (0.5, 0.5))],
+        compute_disentanglement=True,
+    )
+    n_m = len(out["methods"])
+    assert out["mean"].shape == (n_m, 8)
+    assert out["columns"] == list(RESULT_COLUMNS)
+    assert np.isfinite(out["mean"]).all() and np.isfinite(out["std"]).all()
+    assert "0.5acc_0.5nov" in out["methods"]
+    assert "0.5acc_0.5div" in out["methods"]
+    assert out["disent_mean"].shape == (n_m, n_m)
+
+    # artifact layout matches the reference file scheme
+    assert os.path.exists(tmp_path / "rec" / "1" / "candidate.npy")
+    assert os.path.exists(tmp_path / "rec" / "2" / "rec_acc.npy")
+    assert os.path.exists(tmp_path / "rec" / "1" / "single_factor_res.npy")
+    assert os.path.exists(tmp_path / "res" / "single_factor_res_mean.npy")
+    assert os.path.exists(tmp_path / "res" / "summary.json")
+
+    rec = np.load(tmp_path / "rec" / "1" / "rec_div.npy")
+    assert rec.shape == (tiny_inter.n_users, 5)
