@@ -142,3 +142,20 @@ def test_ranking_metrics_vs_naive():
             np.testing.assert_allclose(
                 np.asarray(got[m])[bi], ref[m], rtol=1e-5, atol=1e-6, err_msg=m
             )
+
+
+def test_topk_exact_2stage():
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    rng = np.random.default_rng(9)
+    for b, n, k in ((4, 1000, 20), (2, 257, 10), (3, 100, 5)):
+        s = rng.standard_normal((b, n)).astype(np.float32)
+        v, i = topk_exact_2stage(jnp.asarray(s), k)
+        ref_i = np.argsort(-s, axis=1)[:, :k]
+        np.testing.assert_allclose(
+            np.asarray(v), np.take_along_axis(s, ref_i, 1), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.take_along_axis(s, np.asarray(i), 1),
+            np.take_along_axis(s, ref_i, 1), rtol=1e-6,
+        )
