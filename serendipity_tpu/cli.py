@@ -138,7 +138,23 @@ def cmd_eval(args) -> None:
         print(f"{k} = {v:.5f}")
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache — first compiles on the TPU tunnel are slow
+    (minutes); cached reruns skip them."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SERENDIPITY_TPU_CACHE", os.path.expanduser("~/.serendipity_tpu_cache")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
+    _enable_compilation_cache()
     p = argparse.ArgumentParser(prog="serendipity_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

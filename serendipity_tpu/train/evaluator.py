@@ -89,7 +89,11 @@ class Evaluator:
                 [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0
             )
             scores = scores.at[mask_rows, mask_items].set(-jnp.inf)[:b]
-            _, top_items = jax.lax.top_k(scores, max_k)           # [b, K]
+            # exact two-stage top-k: ~10x cheaper than lax.top_k's full sort at
+            # catalog widths (see ops/topk.py)
+            from serendipity_tpu.ops.topk import topk_exact_2stage
+
+            _, top_items = topk_exact_2stage(scores, max_k)       # [b, K]
 
             lo = data.test_indptr[users]
             hi = data.test_indptr[users + 1]
