@@ -1,0 +1,118 @@
+"""Fused retrieval service: the production-serving form of the recommend pipeline.
+
+The reference's `recommend*.py` are offline scripts that materialize full score
+matrices per strategy and write .npy files.  The serving-shaped equivalent is a
+resident service over device arrays: one call scores a user batch against the full
+catalog (MXU), adds weighted factor scores (novelty / unpopularity / quality /
+accuracy blended per request), masks train items, and returns exact top-k — on one
+chip or sharded over a mesh (items row-sharded, `parallel/retrieval.py` merge).
+
+Scoring semantics match the fused strategies (`recommend_combination.py:442-483`)
+restricted to item-feature factors + accuracy; candidate-set strategies needing
+per-user candidate normalization (ela/dif/div) remain in the offline pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.ops.topk import topk_exact_2stage
+
+
+class RetrievalService:
+    def __init__(
+        self,
+        inter: Interactions,
+        emb_user: np.ndarray,
+        emb_item: np.ndarray,
+        mesh=None,
+    ):
+        from serendipity_tpu.data.datasets import derive_item_metadata
+
+        if inter.item_counts is None:
+            derive_item_metadata(inter)
+        self.inter = inter
+        self.mesh = mesh
+        self.n_items = inter.n_items
+        self.eu = jnp.asarray(emb_user, jnp.float32)
+        self.ei = jnp.asarray(emb_item, jnp.float32)
+
+        def norm_feat(f):
+            if f is None:
+                return np.zeros(inter.n_items, np.float32)
+            f = np.asarray(f, np.float64)
+            return ((f - f.min()) / max(f.max() - f.min(), 1e-12)).astype(np.float32)
+
+        # global min-max normalized item factors (serving-time blend signals)
+        self.factors = jnp.stack(
+            [
+                norm_feat(inter.item_dates),                    # nov
+                1.0 - norm_feat(inter.item_counts),             # pop (unpopularity)
+                norm_feat(inter.item_mean_ratings),             # qua
+            ],
+            axis=0,
+        )                                                       # [3, N]
+        self._train_indptr = jnp.asarray(inter.train_indptr, jnp.int32)
+        self._train_indices = jnp.asarray(inter.train_indices, jnp.int32)
+        # dense per-user mask is built per request batch on the host (cheap, B x N bits)
+
+    def _train_mask(self, user_ids: np.ndarray) -> np.ndarray:
+        mask = np.zeros((len(user_ids), self.n_items), bool)
+        for r, u in enumerate(user_ids):
+            mask[r, self.inter.train_items_of(int(u))] = True
+        return mask
+
+    @partial(jax.jit, static_argnames=("self", "k"))
+    def _score_block(self, users_emb, factors_w, mask, k: int):
+        scores = jax.lax.dot_general(
+            users_emb, self.ei, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # per-row min-max normalized accuracy + weighted global factors
+        mn = jnp.min(scores, axis=1, keepdims=True)
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        acc = (scores - mn) / jnp.maximum(mx - mn, 1e-12)
+        blended = (
+            factors_w[0] * acc
+            + jnp.einsum("f,fn->n", factors_w[1:], self.factors)[None, :]
+        )
+        blended = jnp.where(mask, -jnp.inf, blended)
+        return topk_exact_2stage(blended, k)
+
+    def recommend(
+        self,
+        user_ids: np.ndarray,
+        k: int = 20,
+        weights: Optional[Dict[str, float]] = None,
+        exclude_train: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores [B, k], item_ids [B, k]) for the requested users.
+
+        weights: {"acc": wa, "nov": wn, "pop": wp, "qua": wq}; default pure accuracy.
+        """
+        w = {"acc": 1.0, "nov": 0.0, "pop": 0.0, "qua": 0.0, **(weights or {})}
+        fw = jnp.asarray([w["acc"], w["nov"], w["pop"], w["qua"]], jnp.float32)
+        user_ids = np.asarray(user_ids)
+        mask = (
+            self._train_mask(user_ids)
+            if exclude_train
+            else np.zeros((len(user_ids), self.n_items), bool)
+        )
+        if self.mesh is not None and w == {"acc": 1.0, "nov": 0.0, "pop": 0.0, "qua": 0.0}:
+            # pure-accuracy path over the mesh: sharded dot-product top-k
+            from serendipity_tpu.parallel.retrieval import sharded_score_topk
+
+            v, idx = sharded_score_topk(
+                self.mesh, self.eu[jnp.asarray(user_ids)], self.ei, k
+            )
+            return np.asarray(v), np.asarray(idx)
+        v, idx = self._score_block(
+            self.eu[jnp.asarray(user_ids)], fw, jnp.asarray(mask), k
+        )
+        return np.asarray(v), np.asarray(idx)

@@ -264,3 +264,28 @@ def test_exclude_outliers():
     data = np.array([1.0, 1.1, 0.9, 1.05, 50.0, -40.0])
     kept = exclude_outliers(data)
     assert 50.0 not in kept and -40.0 not in kept and len(kept) == 4
+
+
+def test_retrieval_service(setup):
+    from serendipity_tpu.rec.service import RetrievalService
+
+    tiny, eu, ei, cfg, cand = setup
+    svc = RetrievalService(tiny, eu, ei)
+    uids = np.arange(8)
+    v, idx = svc.recommend(uids, k=10)
+    assert v.shape == idx.shape == (8, 10)
+    scores = eu[uids] @ ei.T
+    for r, u in enumerate(uids):
+        train = set(tiny.train_items_of(u).tolist())
+        assert not (set(idx[r].tolist()) & train)
+        # pure-acc blend is per-row min-max of dot scores -> same ordering
+        s = scores[r].copy()
+        s[list(train)] = -np.inf
+        ref = np.argsort(-s)[:10]
+        np.testing.assert_allclose(
+            np.sort(s[idx[r]]), np.sort(s[ref]), rtol=1e-5
+        )
+    # blended weights shift rankings toward high-quality items
+    v2, idx2 = svc.recommend(uids, k=10, weights={"acc": 0.0, "qua": 1.0})
+    mq = tiny.item_mean_ratings
+    assert mq[idx2].mean() >= mq[idx].mean() - 1e-9
