@@ -148,6 +148,89 @@ def build_interactions(
 
 
 # ---------------------------------------------------------------------------
+# Raw-source parsers
+
+def parse_amazon_reviews(path: str) -> RawInteractions:
+    """Amazon-2013 review dump parser (capability of `parse_dataset` +
+    `convert_to_dataframe`, `rating_data_process.py:391-436`): blank-line-separated
+    blocks of `prefix/key: value` lines; extracts productId / userId / score / time.
+    Malformed blocks are skipped (counted), matching the reference's errNum path."""
+    users, items, ratings, times = [], [], [], []
+    n_err = 0
+    entry: Dict[str, str] = {}
+
+    def flush():
+        nonlocal n_err
+        if not entry:
+            return
+        try:
+            items.append(entry["productId"])
+            users.append(entry["userId"])
+            ratings.append(float(entry["score"]))
+            times.append(int(entry["time"]))
+        except (KeyError, ValueError):
+            n_err += 1
+
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                flush()
+                entry = {}
+                continue
+            key, sep, value = line.partition(": ")
+            if not sep or "/" not in key:
+                n_err += 1
+                continue
+            entry[key.split("/", 1)[1]] = value
+    flush()
+    if n_err:
+        print(f"parse_amazon_reviews: skipped {n_err} malformed fields/blocks")
+    return RawInteractions(
+        users=np.asarray(users),
+        items=np.asarray(items),
+        ratings=np.asarray(ratings),
+        timestamps=np.asarray(times, dtype=np.float64),
+    )
+
+
+def parse_raw_csv(
+    path: str,
+    columns: Tuple[str, ...] = ("user_id", "item_id", "rating", "timestamp"),
+    has_header: bool = False,
+) -> RawInteractions:
+    """Generic raw ratings CSV with a configurable column order — covers the
+    reference's per-dataset layouts (`rating_data_process.py:444-504`: SerenLens
+    `user,item,timestamp,review,rating,label`; Amazon `user,item,rating,timestamp`
+    and `item,user,rating,timestamp` variants)."""
+    import csv
+
+    idx = {name: i for i, name in enumerate(columns)}
+    users, items, ratings, times, labels = [], [], [], [], []
+    has_label = "label" in idx
+    with open(path, newline="") as f:
+        reader = csv.reader(f)
+        if has_header:
+            next(reader, None)
+        for row in reader:
+            if len(row) < len(columns):
+                continue
+            users.append(row[idx["user_id"]])
+            items.append(row[idx["item_id"]])
+            ratings.append(float(row[idx["rating"]]) if "rating" in idx else 0.0)
+            times.append(float(row[idx["timestamp"]]) if "timestamp" in idx else 0.0)
+            if has_label:
+                labels.append(float(row[idx["label"]]))
+    return RawInteractions(
+        users=np.asarray(users),
+        items=np.asarray(items),
+        ratings=np.asarray(ratings),
+        timestamps=np.asarray(times),
+        ser_labels=np.asarray(labels) if has_label else None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exports (the reference's on-disk formats)
 
 def export_adjacency_lists(inter: Interactions, path: str) -> None:

@@ -85,3 +85,53 @@ def test_export_roundtrip(raw, tmp_path):
     edges = np.loadtxt(tmp_path / "proNE_ui_graph.txt", dtype=np.int64)
     assert len(edges) == inter.n_train
     assert edges[:, 1].min() >= inter.n_users
+
+
+def test_parse_amazon_reviews(tmp_path):
+    from serendipity_tpu.data.preprocess import parse_amazon_reviews
+
+    p = tmp_path / "reviews.txt"
+    p.write_text(
+        "product/productId: B00A1\n"
+        "review/userId: U1\n"
+        "review/score: 4.0\n"
+        "review/time: 1000\n"
+        "\n"
+        "product/productId: B00A2\n"
+        "review/userId: U2\n"
+        "review/score: 2.5\n"
+        "review/time: 2000\n"
+        "\n"
+        "malformed block without colon separator\n"
+        "\n"
+    )
+    raw = parse_amazon_reviews(str(p))
+    assert list(raw.users) == ["U1", "U2"]
+    assert list(raw.items) == ["B00A1", "B00A2"]
+    np.testing.assert_allclose(raw.ratings, [4.0, 2.5])
+    np.testing.assert_allclose(raw.timestamps, [1000, 2000])
+
+
+def test_parse_raw_csv(tmp_path):
+    from serendipity_tpu.data.preprocess import parse_raw_csv
+
+    p = tmp_path / "ratings.csv"
+    p.write_text("u1,i1,5.0,100\nu2,i2,3.0,200\n")
+    raw = parse_raw_csv(str(p))
+    assert list(raw.users) == ["u1", "u2"]
+    np.testing.assert_allclose(raw.ratings, [5.0, 3.0])
+
+    # SerenLens layout with header + label column
+    p2 = tmp_path / "seren.csv"
+    p2.write_text(
+        "user_id,item_id,timestamp,review,rating,label\n"
+        "u1,i1,100,text,5.0,1\n"
+        "u2,i2,200,text,3.0,0\n"
+    )
+    raw2 = parse_raw_csv(
+        str(p2),
+        columns=("user_id", "item_id", "timestamp", "review", "rating", "label"),
+        has_header=True,
+    )
+    np.testing.assert_allclose(raw2.ser_labels, [1.0, 0.0])
+    np.testing.assert_allclose(raw2.timestamps, [100.0, 200.0])
