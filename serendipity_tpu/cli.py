@@ -139,14 +139,16 @@ def cmd_eval(args) -> None:
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent XLA compilation cache — first compiles on the TPU tunnel are slow
-    (minutes); cached reruns skip them."""
+    """Opt-in persistent XLA compilation cache (SERENDIPITY_TPU_CACHE=<dir>).
+
+    Opt-in because on remote-compile TPU tunnels the executable serialization the
+    cache requires can cost far more than the compile it saves."""
+    cache_dir = os.environ.get("SERENDIPITY_TPU_CACHE")
+    if not cache_dir:
+        return
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "SERENDIPITY_TPU_CACHE", os.path.expanduser("~/.serendipity_tpu_cache")
-        )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

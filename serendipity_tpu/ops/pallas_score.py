@@ -1,0 +1,109 @@
+"""Pallas fused retrieval kernel: user·item scoring + EXACT top-k in VMEM.
+
+Motivation (measured on v5e at gowalla scale, 29856 x 40960 x 64):
+  * producing the score matrix on the MXU costs ~1 ms of FLOPs,
+  * but the XLA paths then materialize the [U, N] f32 matrix in HBM (4.9 GB
+    written + re-read) and run sort-based selection — `lax.top_k` ~120 ms, the
+    chunked exact 2-stage ~100+ ms.
+
+This kernel streams item tiles through VMEM and maintains a running exact top-k per
+user row with K passes of (max, argmax, mask) — position-indexed masking, so ties
+are handled exactly.  The score tile never leaves VMEM: HBM traffic collapses to
+reading the two embedding tables plus writing [U, K] results.
+
+Layout: grid over user tiles; the item table is a single VMEM-resident block
+(index_map pins it, so Mosaic keeps it loaded across grid steps).  bf16 inputs, f32
+accumulation (MXU-native).  Item count must fit VMEM as bf16 (~100k x 64 works in
+~13 MB); larger catalogs shard items over the mesh first (parallel/retrieval.py),
+which keeps per-chip shards comfortably under the limit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int):
+    bu = eu_ref.shape[0]
+    n_items = ei_ref.shape[0]
+    n_tiles = n_items // item_tile
+
+    def tile_body(t, carry):
+        v_run, i_run = carry                       # [bu, k] each
+        tile = ei_ref[pl.ds(t * item_tile, item_tile), :]          # [ti, d]
+        s = jax.lax.dot_general(
+            eu_ref[:], tile,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [bu, ti]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (bu, item_tile), 1) + t * item_tile
+        work_v = jnp.concatenate([v_run, s], axis=1)                # [bu, k+ti]
+        work_i = jnp.concatenate([i_run, ids], axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bu, k + item_tile), 1)
+
+        def extract(j, st):
+            wv, out_v, out_i = st
+            m = jnp.max(wv, axis=1)                                 # [bu]
+            am = jnp.argmax(wv, axis=1).astype(jnp.int32)           # [bu]
+            gid = jnp.take_along_axis(work_i, am[:, None], axis=1)[:, 0]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1) == j
+            out_v = jnp.where(slot, m[:, None], out_v)
+            out_i = jnp.where(slot, gid[:, None], out_i)
+            wv = jnp.where(cols == am[:, None], -jnp.inf, wv)
+            return wv, out_v, out_i
+
+        init = (
+            work_v,
+            jnp.full((bu, k), -jnp.inf, jnp.float32),
+            jnp.zeros((bu, k), jnp.int32),
+        )
+        _, v_new, i_new = jax.lax.fori_loop(0, k, extract, init)
+        return v_new, i_new
+
+    v0 = jnp.full((bu, k), -jnp.inf, jnp.float32)
+    i0 = jnp.zeros((bu, k), jnp.int32)
+    v_fin, i_fin = jax.lax.fori_loop(0, n_tiles, tile_body, (v0, i0))
+    topv_ref[:] = v_fin
+    topi_ref[:] = i_fin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "user_tile", "item_tile", "interpret")
+)
+def fused_score_topk(
+    eu: jnp.ndarray,          # [U, D] bf16/f32 user vectors (U % user_tile == 0)
+    ei: jnp.ndarray,          # [N, D] item table (N % item_tile == 0)
+    k: int = 20,
+    user_tile: int = 256,
+    item_tile: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
+    u, d = eu.shape
+    n, _ = ei.shape
+    assert u % user_tile == 0 and n % item_tile == 0
+    grid = (u // user_tile,)
+    kernel = functools.partial(_fused_kernel, k=k, item_tile=item_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((user_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u, k), jnp.float32),
+            jax.ShapeDtypeStruct((u, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(eu, ei)

@@ -1,0 +1,34 @@
+"""Pallas fused score+top-k kernel, interpret mode (compiled-mode parity is
+exercised on real TPU by bench/driver runs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from serendipity_tpu.ops.pallas_score import fused_score_topk
+
+
+@pytest.mark.parametrize("u,n,k", [(256, 1024, 20), (512, 2048, 10)])
+def test_fused_score_topk_exact(u, n, k):
+    rng = np.random.default_rng(0)
+    eu = rng.standard_normal((u, 64)).astype(np.float32)
+    ei = rng.standard_normal((n, 64)).astype(np.float32)
+    v, i = fused_score_topk(jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True)
+    s = eu @ ei.T
+    ref = np.sort(s, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.asarray(v), ref, rtol=1e-4, atol=1e-4)
+    got = np.take_along_axis(s, np.asarray(i), axis=1)
+    np.testing.assert_allclose(np.sort(got, 1), np.sort(ref, 1), rtol=1e-4, atol=1e-4)
+    # descending order
+    assert (np.diff(np.asarray(v), axis=1) <= 1e-6).all()
+
+
+def test_fused_score_topk_ties():
+    """Position-indexed masking must return distinct indices even with ties."""
+    u, n, k = 256, 512, 8
+    eu = np.ones((u, 64), np.float32)
+    ei = np.ones((n, 64), np.float32)          # all scores identical
+    v, i = fused_score_topk(jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True)
+    i = np.asarray(i)
+    for r in range(0, u, 37):
+        assert len(set(i[r].tolist())) == k
