@@ -123,6 +123,8 @@ class BPRTrainer:
         patience: track best recall@Ks[0]; stop after `patience` successive
         non-improving evaluations.
         """
+        import math
+
         tcfg = self.cfg.train
         k0 = self.cfg.eval.topks[0]
         best_params = state.params
@@ -130,6 +132,12 @@ class BPRTrainer:
             t0 = time.perf_counter()
             state, loss, mf_loss = self.train_epoch(state)
             dt = time.perf_counter() - t0
+            if not math.isfinite(loss):
+                # failure detection (role of the reference NaN abort,
+                # `LightGCN.py:609-611`): stop, keep the best finite params
+                log_fn(f"ERROR: non-finite loss {loss} at epoch {state.epoch}; aborting")
+                state.params = best_params
+                break
             rec: Dict[str, float] = {"epoch": state.epoch, "loss": loss, "time": dt}
             if evaluator is not None and state.epoch % tcfg.eval_every == 0:
                 metrics = evaluator.evaluate(state.params)

@@ -51,6 +51,8 @@ def run_training(
     pretrained: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     log_fn=print,
 ) -> Dict:
+    from serendipity_tpu.utils.logging import MetricsLogger
+
     if inter is None:
         inter = load_dataset(cfg)
     data = build_device_data(inter)
@@ -59,14 +61,21 @@ def run_training(
     evaluator = Evaluator(model, data, inter, cfg.eval)
     state = trainer.init_state(pretrained=pretrained)
 
+    out_dir = os.path.join(cfg.out_dir, cfg.data.name)
+    mlog = MetricsLogger(out_dir, echo=False)
+    mlog.log("config", **{k: str(v) for k, v in asdict(cfg).items()})
+
+    def log_both(msg: str) -> None:
+        log_fn(msg)
+        mlog.log("train", msg=msg)
+
     t0 = time.perf_counter()
-    state = trainer.fit(state, evaluator, log_fn=log_fn)
+    state = trainer.fit(state, evaluator, log_fn=log_both)
     train_time = time.perf_counter() - t0
 
     final = evaluator.evaluate(state.params)
     emb_user, emb_item = trainer.export_embeddings(state)
 
-    out_dir = os.path.join(cfg.out_dir, cfg.data.name)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "emb_user.npy"), emb_user)
     np.save(os.path.join(out_dir, "emb_item.npy"), emb_item)
