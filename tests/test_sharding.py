@@ -75,3 +75,19 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (16, 20)
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_embedding_lookup(mesh42):
+    from serendipity_tpu.parallel.lookup import sharded_embedding_lookup
+
+    rng = np.random.default_rng(0)
+    r_total, d = 64, 16
+    table = rng.standard_normal((r_total, d)).astype(np.float32)
+    ids = rng.integers(0, r_total, 32).astype(np.int32)
+    out = sharded_embedding_lookup(mesh42, jnp.asarray(table), jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+    # skewed pattern: every query hits the same shard (capacity worst case)
+    ids2 = np.full(32, 3, np.int32)
+    out2 = sharded_embedding_lookup(mesh42, jnp.asarray(table), jnp.asarray(ids2))
+    np.testing.assert_allclose(np.asarray(out2), table[ids2], rtol=1e-6)
