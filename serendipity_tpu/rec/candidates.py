@@ -90,22 +90,31 @@ def _sample_block(
     ).astype(jnp.int32)                                           # [B, N]
 
     eligible = ~train_mask
-    onehot = jax.nn.one_hot(labels, num_fold, dtype=jnp.float32) * eligible[..., None]
-    bucket_counts = jnp.sum(onehot, axis=1)                       # [B, F]
+
+    def count_bucket(f):
+        return jnp.sum((labels == f) & eligible, axis=1).astype(jnp.float32)
+
+    bucket_counts = jnp.stack(
+        [count_bucket(f) for f in range(num_fold)], axis=1
+    )                                                             # [B, F]
     total = jnp.maximum(jnp.sum(bucket_counts, axis=1, keepdims=True), 1.0)
     # rint quotas, proportional allocation (`recommend.py:346-351`)
     quotas = jnp.round(n_keep[:, None] * bucket_counts / total)   # [B, F]
 
     priority = jax.random.uniform(key, (b, n_items))
     priority = jnp.where(eligible, priority, -1.0)
-    # rank of each item within its bucket by priority (descending)
+    # rank of each item within its bucket by priority (descending); computed one
+    # bucket at a time so peak memory stays O(B*N), not O(B*N*F)
     order = jnp.argsort(-priority, axis=1)                        # eligible first
     labels_sorted = jnp.take_along_axis(labels, order, axis=1)
-    onehot_sorted = jax.nn.one_hot(labels_sorted, num_fold, dtype=jnp.float32)
-    rank_in_bucket = (
-        jnp.cumsum(onehot_sorted, axis=1) - onehot_sorted
-    )                                                             # [B, N, F]
-    rank_sorted = jnp.sum(rank_in_bucket * onehot_sorted, axis=2) # [B, N]
+
+    def add_bucket_rank(f, acc):
+        mask = (labels_sorted == f).astype(jnp.float32)
+        return acc + (jnp.cumsum(mask, axis=1) - mask) * mask
+
+    rank_sorted = jax.lax.fori_loop(
+        0, num_fold, add_bucket_rank, jnp.zeros((b, n_items), jnp.float32)
+    )                                                             # [B, N]
     elig_sorted = jnp.take_along_axis(eligible, order, axis=1)
     quota_of_item = jnp.take_along_axis(
         quotas, labels_sorted, axis=1
