@@ -62,6 +62,10 @@ class TrainConfig:
     seed: int = 2020
     neg_resample_rounds: int = 16       # fixed-round device rejection sampling
     steps_per_epoch: int = 0            # 0 = ceil(n_train / batch_size)
+    # steps per compiled scan: one epoch = several chunk calls.  Bounded because
+    # compile time grows with scan length on remote-compile TPU toolchains; the
+    # ~0.1 s dispatch per chunk is noise next to epoch compute.
+    scan_chunk: int = 32
 
 
 @dataclass

@@ -49,10 +49,12 @@ class BPRTrainer:
         self.data = data
         self.optimizer = optax.adam(cfg.train.lr)
         tcfg = cfg.train
-        self.steps_per_epoch = tcfg.steps_per_epoch or max(
-            1, -(-data.n_train // tcfg.batch_size)
-        )
-        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0, 1))
+        steps = tcfg.steps_per_epoch or max(1, -(-data.n_train // tcfg.batch_size))
+        # round the epoch up to whole scan chunks (see TrainConfig.scan_chunk)
+        self.chunk = max(1, min(tcfg.scan_chunk, steps))
+        self.n_chunks = -(-steps // self.chunk)
+        self.steps_per_epoch = self.n_chunks * self.chunk
+        self._chunk_fn = jax.jit(self._build_chunk_fn(), donate_argnums=(0, 1))
 
     def init_state(self, pretrained=None) -> TrainState:
         key = jax.random.PRNGKey(self.cfg.train.seed)
@@ -64,10 +66,10 @@ class BPRTrainer:
             params=params, opt_state=self.optimizer.init(params), key=k_loop
         )
 
-    def _build_epoch_fn(self) -> Callable:
+    def _build_chunk_fn(self) -> Callable:
         model, data, cfg = self.model, self.data, self.cfg
         tcfg = cfg.train
-        steps = self.steps_per_epoch
+        steps = self.chunk
 
         def step(carry, step_key):
             params, opt_state = carry
@@ -93,7 +95,7 @@ class BPRTrainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, aux["mf_loss"])
 
-        def epoch_fn(params, opt_state, key):
+        def chunk_fn(params, opt_state, key):
             key, sub = jax.random.split(key)
             step_keys = jax.random.split(sub, steps)
             (params, opt_state), (losses, mf_losses) = jax.lax.scan(
@@ -101,15 +103,21 @@ class BPRTrainer:
             )
             return params, opt_state, key, jnp.mean(losses), jnp.mean(mf_losses)
 
-        return epoch_fn
+        return chunk_fn
 
     def train_epoch(self, state: TrainState) -> Tuple[TrainState, float, float]:
-        params, opt_state, key, loss, mf_loss = self._epoch_fn(
-            state.params, state.opt_state, state.key
-        )
-        state.params, state.opt_state, state.key = params, opt_state, key
+        losses, mf_losses = [], []
+        for _ in range(self.n_chunks):
+            params, opt_state, key, loss, mf_loss = self._chunk_fn(
+                state.params, state.opt_state, state.key
+            )
+            state.params, state.opt_state, state.key = params, opt_state, key
+            losses.append(loss)
+            mf_losses.append(mf_loss)
         state.epoch += 1
-        return state, float(loss), float(mf_loss)
+        return state, float(jnp.mean(jnp.stack(losses))), float(
+            jnp.mean(jnp.stack(mf_losses))
+        )
 
     def fit(
         self,
