@@ -39,17 +39,34 @@ def run_seed(
     fusion_specs: Optional[Sequence[Tuple[Sequence[str], Sequence[float]]]] = None,
     out_dir: Optional[str] = None,
     compute_disentanglement: bool = False,
+    resume: bool = True,
 ) -> Dict:
-    """One seed of the study: candidates -> strategies -> metrics."""
+    """One seed of the study: candidates -> strategies -> metrics.
+
+    With `resume`, per-seed artifacts already on disk are reloaded instead of
+    recomputed — the reference's memoize-and-skip behavior (`recommend.py:365-368`,
+    `utils.py:75-76`)."""
     rcfg = cfg.rec
     k = rcfg.top_k
-    cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
+    seed_dir = os.path.join(out_dir, "rec", str(seed)) if out_dir else None
+
+    def cached(fname):
+        if resume and seed_dir and os.path.exists(os.path.join(seed_dir, fname)):
+            return np.load(os.path.join(seed_dir, fname))
+        return None
+
+    cand = cached("candidate.npy")
+    if cand is None or cand.shape != (inter.n_users, rcfg.n_candidates):
+        cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
     scorer = StrategyScorer(inter, emb_user, emb_item, cand)
     scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
 
     recs: Dict[str, np.ndarray] = {}
     for m in rcfg.strategies:
-        if m == "div":
+        hit = cached(f"rec_{m}.npy")
+        if hit is not None and hit.shape == (inter.n_users, k):
+            recs[m] = hit.astype(np.int32)
+        elif m == "div":
             recs[m] = dpp_rerank(cand, emb_item, k)
         else:
             recs[m] = topk_from_scores(scores[m], cand, k)
@@ -72,7 +89,6 @@ def run_seed(
         disent = evaluator.disentanglement_matrix(recs, methods)
 
     if out_dir:
-        seed_dir = os.path.join(out_dir, "rec", str(seed))
         os.makedirs(seed_dir, exist_ok=True)
         np.save(os.path.join(seed_dir, "candidate.npy"), cand)
         for m, r in recs.items():

@@ -45,3 +45,23 @@ def test_run_study(tiny_inter, tmp_path):
 
     rec = np.load(tmp_path / "rec" / "1" / "rec_div.npy")
     assert rec.shape == (tiny_inter.n_users, 5)
+
+
+def test_run_seed_resume(tiny_inter, tmp_path):
+    """Memoize-and-skip: a second run with resume reloads stored artifacts."""
+    rng = np.random.default_rng(1)
+    eu = rng.standard_normal((tiny_inter.n_users, 16)).astype(np.float32)
+    ei = rng.standard_normal((tiny_inter.n_items, 16)).astype(np.float32)
+    cfg = ExperimentConfig()
+    from serendipity_tpu.config import apply_overrides as ov
+    from serendipity_tpu.pipeline import run_seed
+
+    cfg = ov(cfg, ["rec.n_candidates=25", "rec.top_k=5"])
+    r1 = run_seed(tiny_inter, eu, ei, cfg, seed=9, out_dir=str(tmp_path))
+    # tamper with the stored div rec; resume must pick up the stored version
+    tampered = r1["recs"]["div"].copy()
+    tampered[:, 0] = tampered[:, 1]
+    np.save(tmp_path / "rec" / "9" / "rec_div.npy", tampered)
+    r2 = run_seed(tiny_inter, eu, ei, cfg, seed=9, out_dir=str(tmp_path))
+    np.testing.assert_array_equal(r2["recs"]["div"], tampered)
+    np.testing.assert_array_equal(r2["candidates"], r1["candidates"])
