@@ -159,53 +159,62 @@ class SerendipityEvaluator:
             return np.asarray(self.inter.test_ser_labels, np.float64)
         return np.ones(self.inter.n_test)  # unlabeled data: every test item positive
 
+    def _rec_relevance(
+        self, mat_rec: np.ndarray, glb_ser_score: float, only_pos: bool
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-(user, rec-slot) graded relevance from serLabels via on-device CSR
+        membership search: 1 for a positively-labeled test hit, glb for a
+        negative-label hit (0 if only_pos), 0 for a miss.  Returns (rel [U, K],
+        has_test [U])."""
+        labels = self._test_labels().astype(np.float32)
+        ptr = self.inter.test_indptr
+        idx = jnp.asarray(self.inter.test_indices, jnp.int32)
+        lab = jnp.asarray(labels)
+        u, k = mat_rec.shape
+        lo = jnp.repeat(jnp.asarray(ptr[:-1], jnp.int32), k)
+        hi = jnp.repeat(jnp.asarray(ptr[1:], jnp.int32), k)
+        q = jnp.asarray(mat_rec.reshape(-1), jnp.int32)
+        from serendipity_tpu.ops.search import searchsorted_in_rows
+
+        pos = searchsorted_in_rows(idx, lo, hi, q)
+        found = (pos < hi) & (idx[jnp.clip(pos, 0, idx.shape[0] - 1)] == q)
+        lab_hit = lab[jnp.clip(pos, 0, lab.shape[0] - 1)]
+        if only_pos:
+            # `only_pos_ser` treats every test item as a positive
+            # (`utils.py:199-200,213-215`: membership only, labels ignored)
+            rel = jnp.where(found, 1.0, 0.0).reshape(u, k)
+        else:
+            rel = jnp.where(
+                found, jnp.where(lab_hit > 0.9999, 1.0, glb_ser_score), 0.0
+            ).reshape(u, k)
+        has_test = np.diff(ptr) > 0
+        return np.asarray(rel), has_test
+
     def hr_ser(
         self, mat_rec: np.ndarray, glb_ser_score: float = 0.0, only_pos: bool = False
     ) -> float:
         """`HR_ser` (`utils.py:144-176`): 1 if any positively-labeled test item is in
         the rec list; soft glb_ser_score if only negative-label test items hit."""
-        labels = self._test_labels()
-        ptr, idx = self.inter.test_indptr, self.inter.test_indices
-        out: List[float] = []
-        for u in range(self.n_users):
-            seg = slice(ptr[u], ptr[u + 1])
-            if ptr[u + 1] == ptr[u]:
-                continue
-            rec = set(mat_rec[u].tolist())
-            res = 0.0
-            for it, lab in zip(idx[seg], labels[seg]):
-                if int(it) in rec:
-                    if only_pos or lab > 0.9999:
-                        res = 1.0
-                        break
-                    res = glb_ser_score
-            out.append(res)
-        return float(np.mean(out)) if out else 0.0
+        rel, has_test = self._rec_relevance(mat_rec, glb_ser_score, only_pos)
+        pos_hit = (rel >= 1.0 - 1e-9).any(axis=1)
+        any_hit = (rel > 0).any(axis=1) if not only_pos else pos_hit
+        per_user = np.where(pos_hit, 1.0, np.where(any_hit, glb_ser_score, 0.0))
+        return float(per_user[has_test].mean()) if has_test.any() else 0.0
 
     def ndcg_ser(
         self, mat_rec: np.ndarray, glb_ser_score: float = 0.0, only_pos: bool = False
     ) -> float:
         """`NDCG_ser` (`utils.py:180-243`): graded relevance (1 / glb / 0) per rec
         position, gain 2^rel - 1, iDCG from the sorted relevance of the same list."""
-        labels = self._test_labels()
-        ptr, idx = self.inter.test_indptr, self.inter.test_indices
+        rel, has_test = self._rec_relevance(mat_rec, glb_ser_score, only_pos)
         k = mat_rec.shape[1]
         disc = 1.0 / np.log2(np.arange(2, k + 2))
-        out: List[float] = []
-        for u in range(self.n_users):
-            if ptr[u + 1] == ptr[u]:
-                continue
-            lab_of = {
-                int(it): (1.0 if lab > 0.9999 else (0.0 if only_pos else glb_ser_score))
-                for it, lab in zip(idx[ptr[u]:ptr[u + 1]], labels[ptr[u]:ptr[u + 1]])
-            }
-            rel = np.array([lab_of.get(int(it), 0.0) for it in mat_rec[u]])
-            gains = 2.0 ** rel - 1.0
-            dcg = float((gains * disc).sum())
-            ideal = np.sort(gains)[::-1]
-            idcg = float((ideal * disc).sum())
-            out.append(dcg / idcg if idcg > 0 else 0.0)
-        return float(np.mean(out)) if out else 0.0
+        gains = 2.0 ** rel - 1.0
+        dcg = (gains * disc).sum(axis=1)
+        ideal = np.sort(gains, axis=1)[:, ::-1]
+        idcg = (ideal * disc).sum(axis=1)
+        per_user = np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)
+        return float(per_user[has_test].mean()) if has_test.any() else 0.0
 
     # ---- factor metrics -----------------------------------------------------
 

@@ -289,3 +289,57 @@ def test_retrieval_service(setup):
     v2, idx2 = svc.recommend(uids, k=10, weights={"acc": 0.0, "qua": 1.0})
     mq = tiny.item_mean_ratings
     assert mq[idx2].mean() >= mq[idx].mean() - 1e-9
+
+
+def test_hr_ndcg_ser_vs_naive(setup):
+    """Vectorized HR_ser/NDCG_ser vs a naive per-user transliteration of
+    `utils.py:144-243` with crafted serendipity labels."""
+    tiny, eu, ei, cfg, cand = setup
+    rng = np.random.default_rng(11)
+    tiny.test_ser_labels = (rng.random(tiny.n_test) > 0.5).astype(float)
+    ev = SerendipityEvaluator(tiny, ei)
+    rec = np.stack([
+        rng.choice(tiny.n_items, 6, replace=False) for _ in range(tiny.n_users)
+    ]).astype(np.int32)
+    # plant some hits
+    for u in range(0, tiny.n_users, 3):
+        t = tiny.test_items_of(u)
+        if len(t):
+            rec[u, 0] = t[0]
+
+    glb = 0.3
+    hr_naive, ndcg_naive = [], []
+    disc = 1.0 / np.log2(np.arange(2, rec.shape[1] + 2))
+    ptr, idx = tiny.test_indptr, tiny.test_indices
+    labels = tiny.test_ser_labels
+    for u in range(tiny.n_users):
+        if ptr[u + 1] == ptr[u]:
+            continue
+        lab_of = {int(i): l for i, l in zip(idx[ptr[u]:ptr[u+1]], labels[ptr[u]:ptr[u+1]])}
+        res = 0.0
+        for it in lab_of:
+            if it in rec[u]:
+                if lab_of[it] > 0.9999:
+                    res = 1.0
+                    break
+                res = glb
+        hr_naive.append(res)
+        rel = np.array([
+            (1.0 if lab_of[int(it)] > 0.9999 else glb) if int(it) in lab_of else 0.0
+            for it in rec[u]
+        ])
+        gains = 2.0 ** rel - 1
+        dcg = (gains * disc).sum()
+        idcg = (np.sort(gains)[::-1] * disc).sum()
+        ndcg_naive.append(dcg / idcg if idcg > 0 else 0.0)
+
+    assert ev.hr_ser(rec, glb_ser_score=glb) == pytest.approx(np.mean(hr_naive), rel=1e-5)
+    assert ev.ndcg_ser(rec, glb_ser_score=glb) == pytest.approx(np.mean(ndcg_naive), rel=1e-5)
+    # only_pos: membership only
+    hr_op = ev.hr_ser(rec, only_pos=True)
+    naive_op = np.mean([
+        float(any(int(i) in rec[u] for i in idx[ptr[u]:ptr[u+1]]))
+        for u in range(tiny.n_users) if ptr[u+1] > ptr[u]
+    ])
+    assert hr_op == pytest.approx(naive_op, rel=1e-6)
+    tiny.test_ser_labels = None
