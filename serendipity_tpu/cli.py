@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 from typing import List
 
 import numpy as np
@@ -40,7 +39,6 @@ def cmd_train(args) -> None:
 
 
 def cmd_prone(args) -> None:
-    from serendipity_tpu.data.datasets import load_adjacency_list
     from serendipity_tpu.models.prone import prone_embeddings
     from serendipity_tpu.train.runner import load_dataset
 
@@ -94,7 +92,6 @@ def cmd_preprocess(args) -> None:
     cfg = _cfg(args.overrides)
     cols = parse_rating_csv(args.input)
     if cols is None:
-        import numpy.lib.recfunctions  # noqa: F401
         raw_arr = np.genfromtxt(
             args.input, delimiter=",", names=True, dtype=None, encoding="utf-8"
         )

@@ -22,8 +22,6 @@ shapes are static and tile-aligned.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import numpy as np
 
 from serendipity_tpu.data.datasets import Interactions

@@ -48,8 +48,13 @@ class EmbeddingModel:
         params: Params,
         adj: Dict[str, jnp.ndarray],
         dropout_key: Optional[jax.Array] = None,
+        spmm_ops=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Return final (all_users, all_items) embeddings."""
+        """Return final (all_users, all_items) embeddings.
+
+        `spmm_ops` = (user<-items op, item<-users op) closures from
+        `ops/spmm_ell.make_bipartite_spmm`: the scatter-free fast path, usable
+        whenever edge dropout is off (the layouts bake the weights)."""
         ue = params["user_embedding"].astype(self.compute_dtype)
         ie = params["item_embedding"].astype(self.compute_dtype)
         if self.arch == "mf":
@@ -64,6 +69,16 @@ class EmbeddingModel:
             edge_keep = keep.astype(self.compute_dtype) / keep_prob
 
         if self.arch == "lightgcn":
+            if spmm_ops is not None and edge_keep is None:
+                ui_op, iu_op = spmm_ops
+                u_acc, i_acc = ue, ie
+                u_cur, i_cur = ue, ie
+                for _ in range(self.n_layers):
+                    u_cur, i_cur = ui_op(i_cur), iu_op(u_cur)
+                    u_acc = u_acc + u_cur
+                    i_acc = i_acc + i_cur
+                inv = 1.0 / (self.n_layers + 1)
+                return u_acc * inv, i_acc * inv
             return lightgcn_propagate(
                 ue, ie,
                 adj["u_dst"], adj["u_src"], adj["u_w"],
@@ -142,6 +157,7 @@ class EmbeddingModel:
         neg: jnp.ndarray,
         l2_decay: float,
         dropout_key: Optional[jax.Array] = None,
+        spmm_ops=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Softplus BPR + L2 on the ego (pre-propagation) embeddings.
 
@@ -149,7 +165,7 @@ class EmbeddingModel:
         (`LightGCN.py:342-357`): loss = mean softplus(neg - pos) +
         decay * (|u0|^2 + |p0|^2 + |n0|^2) / (2 * batch).
         """
-        all_u, all_i = self.propagate(params, adj, dropout_key)
+        all_u, all_i = self.propagate(params, adj, dropout_key, spmm_ops=spmm_ops)
         ue = all_u[users]
         pe = all_i[pos]
         ne = all_i[neg]

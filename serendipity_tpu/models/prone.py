@@ -21,7 +21,6 @@ filter.  The scipy/sklearn pipeline becomes edge-list SpMM + on-device randomize
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

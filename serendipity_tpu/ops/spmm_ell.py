@@ -1,0 +1,131 @@
+"""Segmented-ELL SpMM: scatter-free sparse propagation with a custom VJP.
+
+The plain edge-list formulation (`ops/spmm.py`) costs one [nnz, D] gather plus one
+[nnz, D] scatter-add per SpMM — and autodiff adds another scatter-add for the
+gather's transpose.  Scatter-add is the slow path on TPU.  This layout removes it:
+
+  * every destination row's neighbor list is cut into fixed-width segments
+    (width W, padded with a dummy source row), giving arrays
+        seg_idx [S, W] (source ids), seg_w [S, W], seg_dst [S]
+    with S ~ nnz/W + n_dst;
+  * forward:  partial[s] = sum_w seg_w[s,w] * E[seg_idx[s,w]]  (a structured batched
+    gather + an in-register reduction over W), then a sorted segment-sum of only
+    S partials — W times fewer scattered elements;
+  * backward: dE = A^T @ dOut runs the SAME kernel on the TRANSPOSE layout (which
+    the bipartite graph provides for free: the CSR-by-item half IS the transpose of
+    the CSR-by-user half), wired in with jax.custom_vjp — autodiff never sees the
+    gather, so no scatter-add is ever emitted.
+
+Normalization weights are non-trainable constants; the layouts are closed over as
+jit constants by `make_spmm_pair`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class EllLayout:
+    """Host-built segmented-ELL arrays for one propagation direction."""
+
+    seg_idx: np.ndarray     # [S, W] int32 source rows (pad = n_src)
+    seg_w: np.ndarray       # [S, W] float32 (pad = 0)
+    seg_dst: np.ndarray     # [S] int32 destination rows, sorted asc (pad = n_dst)
+    n_dst: int
+    n_src: int
+
+
+def build_ell(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    n_dst: int,
+    n_src: int,
+    width: int = 16,
+    pad_segments_to: int = 256,
+) -> EllLayout:
+    """Vectorized host construction of the segmented layout."""
+    indptr = np.asarray(indptr, np.int64)
+    deg = np.diff(indptr)
+    segs_per_row = -(-deg // width)
+    s = int(segs_per_row.sum())
+    s_pad = max(
+        pad_segments_to,
+        ((s + pad_segments_to - 1) // pad_segments_to) * pad_segments_to,
+    )
+
+    seg_idx = np.full((s_pad, width), n_src, np.int32)
+    seg_w = np.zeros((s_pad, width), np.float32)
+    seg_dst = np.full(s_pad, n_dst, np.int32)
+
+    if len(indices):
+        seg_base = np.zeros(n_dst, np.int64)
+        np.cumsum(segs_per_row[:-1], out=seg_base[1:])
+        off_in_row = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+        elem_seg = np.repeat(seg_base, deg) + off_in_row // width
+        elem_slot = off_in_row % width
+        seg_idx[elem_seg, elem_slot] = indices
+        seg_w[elem_seg, elem_slot] = weights
+        seg_dst[:s] = np.repeat(np.arange(n_dst, dtype=np.int32), segs_per_row)
+    return EllLayout(seg_idx, seg_w, seg_dst, n_dst, n_src)
+
+
+def _ell_apply(x, seg_idx, seg_w, seg_dst, n_dst):
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    gathered = x_pad[seg_idx]                                   # [S, W, D]
+    part = jnp.einsum(
+        "swd,sw->sd", gathered, seg_w.astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+    return jax.ops.segment_sum(
+        part, seg_dst, num_segments=n_dst, indices_are_sorted=True
+    )
+
+
+def make_spmm(fwd: EllLayout, bwd: EllLayout) -> Callable:
+    """A-matvec closure whose VJP applies the transpose layout (`bwd`)."""
+    fi, fw, fd = jnp.asarray(fwd.seg_idx), jnp.asarray(fwd.seg_w), jnp.asarray(fwd.seg_dst)
+    bi, bw, bd = jnp.asarray(bwd.seg_idx), jnp.asarray(bwd.seg_w), jnp.asarray(bwd.seg_dst)
+    n_dst, n_src = fwd.n_dst, fwd.n_src
+
+    @jax.custom_vjp
+    def f(x):
+        return _ell_apply(x, fi, fw, fd, n_dst)
+
+    def f_fwd(x):
+        return f(x), None
+
+    def f_bwd(_res, g):
+        return (_ell_apply(g, bi, bw, bd, n_src),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def make_bipartite_spmm(
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    width: int = 16,
+) -> Tuple[Callable, Callable]:
+    """(user<-items op, item<-users op) for the normalized bipartite adjacency.
+
+    `weights_by_user` are the per-edge A_hat values in CSR-by-user order;
+    `weights_by_item` the same multiset in CSR-by-item order.  Each op's transpose
+    is the other direction's layout.
+    """
+    ui = build_ell(
+        inter.train_indptr, inter.train_indices, weights_by_user,
+        inter.n_users, inter.n_items, width,
+    )
+    iu = build_ell(
+        inter.train_indptr_by_item, inter.train_indices_by_item, weights_by_item,
+        inter.n_items, inter.n_users, width,
+    )
+    return make_spmm(ui, iu), make_spmm(iu, ui)

@@ -17,11 +17,8 @@ Protocol (per device, inside `shard_map` over ('data', 'model')):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 

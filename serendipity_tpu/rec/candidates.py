@@ -27,7 +27,7 @@ Users whose test-item count exceeds K_c are not supported (same as the reference
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

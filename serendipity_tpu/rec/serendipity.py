@@ -13,8 +13,7 @@ Result row layout matches the reference res matrix (`utils.py:546`, `main.py:77`
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

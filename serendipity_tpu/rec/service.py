@@ -15,7 +15,7 @@ per-user candidate normalization (ela/dif/div) remain in the offline pipeline.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ blocked MXU matmuls over the binary incidence matrix.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

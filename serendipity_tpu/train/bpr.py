@@ -88,6 +88,7 @@ class BPRTrainer:
                 return model.bpr_loss(
                     p, data.adj, users, pos, neg, tcfg.l2_decay,
                     dropout_key=k_drop if model.edge_dropout > 0 else None,
+                    spmm_ops=data.spmm_ops,
                 )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -184,5 +185,7 @@ class BPRTrainer:
         `emb_item.npy` contract (`LightGCN.py:707-708`, `code/main.py:40-41`)."""
         import numpy as np
 
-        all_u, all_i = jax.jit(self.model.propagate)(state.params, self.data.adj)
+        all_u, all_i = jax.jit(
+            lambda p: self.model.propagate(p, self.data.adj, spmm_ops=self.data.spmm_ops)
+        )(state.params)
         return np.asarray(all_u), np.asarray(all_i)

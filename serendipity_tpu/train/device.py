@@ -9,7 +9,7 @@ an entire training epoch runs as a single device computation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,10 +29,14 @@ class DeviceData:
     valid_users: jnp.ndarray             # users with >=1 train item
     test_indptr: jnp.ndarray
     test_indices: jnp.ndarray
+    spmm_ops: object = None              # (ui_op, iu_op) segmented-ELL closures
 
 
 def build_device_data(
-    inter: Interactions, adj: BipartiteAdjacency | None = None
+    inter: Interactions,
+    adj: BipartiteAdjacency | None = None,
+    use_ell: bool = True,
+    ell_width: int = 16,
 ) -> DeviceData:
     if adj is None:
         adj = build_normalized_adjacency(inter)
@@ -45,6 +49,14 @@ def build_device_data(
         "i_w": jnp.asarray(adj.i_w),
     }
     valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
+    spmm_ops = None
+    if use_ell:
+        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm
+
+        e = adj.n_edges
+        spmm_ops = make_bipartite_spmm(
+            inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
+        )
     return DeviceData(
         n_users=inter.n_users,
         n_items=inter.n_items,
@@ -55,4 +67,5 @@ def build_device_data(
         valid_users=jnp.asarray(valid),
         test_indptr=jnp.asarray(inter.test_indptr, dtype=jnp.int32),
         test_indices=jnp.asarray(inter.test_indices, dtype=jnp.int32),
+        spmm_ops=spmm_ops,
     )

@@ -76,7 +76,9 @@ class Evaluator:
         self.users_dev = jnp.asarray(self.users_batched)
         self.valid_dev = jnp.asarray(self.valid_batched)
 
-        self._propagate = jax.jit(lambda p: model.propagate(p, data.adj))
+        self._propagate = jax.jit(
+            lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
+        )
         self._batch_fn = jax.jit(self._build_batch_fn())
 
     def _build_batch_fn(self):

@@ -19,7 +19,7 @@ import numpy as np
 from serendipity_tpu.config import ExperimentConfig
 from serendipity_tpu.data.datasets import Interactions, load_adjacency_list, load_serendipity_csv
 from serendipity_tpu.models.lightgcn import EmbeddingModel
-from serendipity_tpu.train.bpr import BPRTrainer, TrainState
+from serendipity_tpu.train.bpr import BPRTrainer
 from serendipity_tpu.train.device import build_device_data
 from serendipity_tpu.train.evaluator import Evaluator
 
