@@ -47,15 +47,21 @@ def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int)
         work_i = jnp.concatenate([i_run, ids], axis=1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bu, k + item_tile), 1)
 
+        big = jnp.int32(k + item_tile + 1)
+
         def extract(j, st):
             wv, out_v, out_i = st
             m = jnp.max(wv, axis=1)                                 # [bu]
-            am = jnp.argmax(wv, axis=1).astype(jnp.int32)           # [bu]
-            gid = jnp.take_along_axis(work_i, am[:, None], axis=1)[:, 0]
+            # first-occurrence argmax and its global id via masked reductions only
+            # (portable to Mosaic: no argmax / per-row dynamic gather)
+            is_m = wv >= m[:, None]
+            am = jnp.min(jnp.where(is_m, cols, big), axis=1)        # [bu]
+            sel = cols == am[:, None]
+            gid = jnp.max(jnp.where(sel, work_i, -1), axis=1)
             slot = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1) == j
             out_v = jnp.where(slot, m[:, None], out_v)
             out_i = jnp.where(slot, gid[:, None], out_i)
-            wv = jnp.where(cols == am[:, None], -jnp.inf, wv)
+            wv = jnp.where(sel, -jnp.inf, wv)
             return wv, out_v, out_i
 
         init = (
