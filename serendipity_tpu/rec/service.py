@@ -105,11 +105,21 @@ class RetrievalService:
             else np.zeros((len(user_ids), self.n_items), bool)
         )
         if self.mesh is not None and w == {"acc": 1.0, "nov": 0.0, "pop": 0.0, "qua": 0.0}:
-            # pure-accuracy path over the mesh: sharded dot-product top-k
+            # pure-accuracy path over the mesh: sharded dot-product top-k, with the
+            # item table padded (and masked) to divide the model axis
             from serendipity_tpu.parallel.retrieval import sharded_score_topk
 
+            n_model = self.mesh.shape["model"]
+            pad = (-self.n_items) % n_model
+            ei = self.ei
+            valid = None
+            if pad:
+                ei = jnp.concatenate(
+                    [ei, jnp.zeros((pad, ei.shape[1]), ei.dtype)], axis=0
+                )
+                valid = jnp.arange(self.n_items + pad) < self.n_items
             v, idx = sharded_score_topk(
-                self.mesh, self.eu[jnp.asarray(user_ids)], self.ei, k
+                self.mesh, self.eu[jnp.asarray(user_ids)], ei, k, item_valid=valid
             )
             return np.asarray(v), np.asarray(idx)
         v, idx = self._score_block(

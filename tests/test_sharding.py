@@ -91,3 +91,23 @@ def test_sharded_embedding_lookup(mesh42):
     ids2 = np.full(32, 3, np.int32)
     out2 = sharded_embedding_lookup(mesh42, jnp.asarray(table), jnp.asarray(ids2))
     np.testing.assert_allclose(np.asarray(out2), table[ids2], rtol=1e-6)
+
+
+def test_retrieval_service_mesh_path(mesh42, tiny_inter):
+    """Pure-accuracy retrieval routed through the sharded mesh path."""
+    from serendipity_tpu.rec.service import RetrievalService
+
+    rng = np.random.default_rng(3)
+    eu = rng.standard_normal((tiny_inter.n_users, 16)).astype(np.float32)
+    # pad items to a multiple of the model axis (2)
+    n_items_pad = tiny_inter.n_items + (-tiny_inter.n_items) % 2
+    ei = rng.standard_normal((n_items_pad, 16)).astype(np.float32)
+    tiny_inter.item_counts = np.diff(tiny_inter.train_indptr_by_item).astype(float)
+    svc = RetrievalService(tiny_inter, eu, ei[: tiny_inter.n_items], mesh=None)
+    svc_mesh = RetrievalService(tiny_inter, eu, ei[: tiny_inter.n_items], mesh=mesh42)
+    # compare mesh path (no train exclusion) against dense scoring
+    uids = np.arange(8)
+    v, idx = svc_mesh.recommend(uids, k=5, exclude_train=False)
+    scores = eu[uids] @ ei[: tiny_inter.n_items].T
+    ref_v = np.sort(scores, axis=1)[:, ::-1][:, :5]
+    np.testing.assert_allclose(np.sort(v, 1), np.sort(ref_v, 1), rtol=1e-4)
