@@ -356,6 +356,89 @@ class SerendipityEvaluator:
         res = tmp.sum(axis=2) + tmp.transpose(1, 0, 2).sum(axis=2)
         return res / n_u
 
+    # ---- ideal-max normalizers (`utils.py:349-382`) -------------------------
+
+    @staticmethod
+    def max_average_linkage(rec: np.ndarray, pair_dist: np.ndarray, k: int) -> float:
+        """`find_max_average_linkage` (`utils.py:355-363`): the best-possible mean
+        total linkage of k catalog items to the set `rec`.  The DP reduces to a
+        top-k selection because item contributions are independent:
+        linkage(i) = sum_{a in rec} dist[a, i]."""
+        linkage = pair_dist[rec].sum(axis=0)              # [N]
+        top = np.partition(linkage, -k)[-k:]
+        return float(top.sum() / k)
+
+    @staticmethod
+    def max_min_cos_diff(rec: np.ndarray, pair_dist: np.ndarray, k: int) -> float:
+        """`find_max_min_cosDiff` (`utils.py:365-382`): sequential DP over catalog
+        items; state = per-rec-item running minima, transition keeps whichever of
+        {skip, take} yields the larger sum of minima.  Vectorized transliteration
+        of the reference recurrence (which is itself a greedy approximation)."""
+        n = pair_dist.shape[0]
+        kk = min(k, n)
+        dp = np.zeros(kk + 1)
+        min_diff = np.full((kk + 1, len(rec)), 1e6)
+        for i in range(n):
+            d_i = pair_dist[rec, i]                       # [|rec|]
+            for j in range(min(i + 1, kk), 0, -1):
+                cand = np.minimum(min_diff[j - 1], d_i)
+                s = cand.sum()
+                if s > dp[j]:
+                    dp[j] = s
+                    min_diff[j] = cand
+        return float(dp[kk] / k)
+
+    def disentanglement_pair_ideal(
+        self,
+        rec_a: np.ndarray,
+        rec_b: np.ndarray,
+        metric: str = "cosDis_diff",
+        eps: float = 1e-4,
+    ) -> float:
+        """`idealMaxDistNorm` variants (`utils.py:417-437, 452-468`): per-user
+        chamfer (diff) or mean (avgLink) distances normalized by each list's
+        ideal-maximum achievable value over the whole catalog."""
+        ei = self.emb_item
+        en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+        full = (1.0 - en @ en.T) / 2.0
+        f_mn, f_mx = full.min(), full.max()
+        full_n = (full - f_mn) / max(f_mx - f_mn, 1e-12)
+
+        pair = self.disentanglement_pair(rec_a, rec_b, f_mn, f_mx, eps=eps)
+        k = rec_a.shape[1]
+        if metric.endswith("diff"):
+            ab, ba = pair[:, 0], pair[:, 1]
+            ideal_a = np.array(
+                [self.max_min_cos_diff(r, full_n, k) for r in rec_a]
+            )
+            ideal_b = np.array(
+                [self.max_min_cos_diff(r, full_n, k) for r in rec_b]
+            )
+        else:  # avgLink
+            en_dev = jnp.asarray(en.astype(np.float32))
+
+            @jax.jit
+            def mean_dist(ra, rb):
+                cos = jnp.einsum(
+                    "ukd,ujd->ukj", en_dev[ra], en_dev[rb],
+                    preferred_element_type=jnp.float32,
+                )
+                d = ((1.0 - cos) / 2.0 - f_mn) / max(f_mx - f_mn, 1e-12)
+                return jnp.mean(d, axis=(1, 2))
+
+            ab = np.asarray(mean_dist(jnp.asarray(rec_a), jnp.asarray(rec_b)))
+            ba = ab
+            ideal_a = np.array(
+                [self.max_average_linkage(r, full_n, k) for r in rec_a]
+            )
+            ideal_b = np.array(
+                [self.max_average_linkage(r, full_n, k) for r in rec_b]
+            )
+        vals = (
+            ab / np.maximum(ideal_a, 1e-12) + ba / np.maximum(ideal_b, 1e-12)
+        ) / 2.0
+        return float(vals.mean())
+
     @staticmethod
     def jaccard_matrix(recs: Dict[str, np.ndarray], methods: Sequence[str]) -> np.ndarray:
         """Mean per-user Jaccard distance between rec lists (`utils.py:344-348`)."""

@@ -343,3 +343,36 @@ def test_hr_ndcg_ser_vs_naive(setup):
     ])
     assert hr_op == pytest.approx(naive_op, rel=1e-6)
     tiny.test_ser_labels = None
+
+
+def test_ideal_max_normalizers(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    rng = np.random.default_rng(13)
+    n = 12
+    dist = rng.random((n, n))
+    dist = (dist + dist.T) / 2
+    rec = np.array([0, 3, 5])
+    k = 4
+    # max_average_linkage == brute-force best k-subset mean total linkage
+    # (contributions independent -> top-k)
+    linkage = dist[rec].sum(axis=0)
+    expect = np.sort(linkage)[-k:].sum() / k
+    assert ev.max_average_linkage(rec, dist, k) == pytest.approx(expect)
+    # max_min_cos_diff: bounded by the best possible sum/k and >= 0
+    got = ev.max_min_cos_diff(rec, dist, k)
+    assert 0.0 <= got <= dist[rec].max(axis=1).sum() / k + 1e-9
+
+
+def test_disentanglement_ideal_variants(setup):
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    rec_a = cand[:6, :5]
+    rec_b = cand[:6, 5:10]
+    for metric in ("cosDis_diff", "cosDis_avgLink"):
+        v = ev.disentanglement_pair_ideal(rec_a, rec_b, metric=metric)
+        assert np.isfinite(v) and v >= 0.0
+    # identical lists under the diff metric give ~0 disentanglement
+    v_same = ev.disentanglement_pair_ideal(rec_a, rec_a, metric="cosDis_diff")
+    v_diff = ev.disentanglement_pair_ideal(rec_a, rec_b, metric="cosDis_diff")
+    assert v_same <= v_diff + 1e-9
