@@ -87,7 +87,7 @@ def fused_score_topk(
     ei: jnp.ndarray,          # [N, D] item table (N % item_tile == 0)
     k: int = 20,
     user_tile: int = 256,
-    item_tile: int = 512,
+    item_tile: int = 2048,   # swept on v5e: 2048 > 1024 ~ 512; 512-wide user tiles regress
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
