@@ -93,6 +93,8 @@ def fused_score_topk(
     """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
     u, d = eu.shape
     n, _ = ei.shape
+    user_tile = min(user_tile, u)
+    item_tile = min(item_tile, n)
     assert u % user_tile == 0 and n % item_tile == 0
     grid = (u // user_tile,)
     kernel = functools.partial(_fused_kernel, k=k, item_tile=item_tile)
