@@ -73,3 +73,49 @@ def test_ranking_metrics():
     assert m["hr@1"] == 0.5
     assert m["hr@5"] == 1.0
     assert 0 < m["ndcg@5"] <= 1.0
+
+
+def test_seren_data_pipeline_end_to_end(request):
+    """DataBuilder-equivalent tensors feed the transformer end-to-end."""
+    tiny = request.getfixturevalue("tiny_inter")
+    from serendipity_tpu.rec.seren_data import (
+        build_seren_test_batch,
+        build_seren_training_batches,
+        user_histories,
+    )
+    from serendipity_tpu.models.seren_transformer import SerenTrainer, SerenTransformer
+
+    rng = np.random.default_rng(0)
+    dim = 16
+    ei = rng.standard_normal((tiny.n_items, dim)).astype(np.float32)
+    hist = user_histories(tiny, ei, n_reviews=6)
+    assert hist.shape == (tiny.n_users, 6, dim)
+    # front padding: users with < 6 train items have zero rows first
+    deg = np.diff(tiny.train_indptr)
+    u_small = int(np.argmin(np.where(deg > 0, deg, 999)))
+    n_hist = min(deg[u_small], 6)
+    assert np.allclose(hist[u_small, : 6 - n_hist], 0.0)
+
+    batch = build_seren_training_batches(tiny, ei, n_reviews=6, n_pos=4)
+    assert batch["y_seren"].shape == (tiny.n_users, 8, dim)
+    # positives are real test/train embeddings
+    u = int(np.nonzero(np.diff(tiny.test_indptr) > 0)[0][0])
+    te_embs = ei[tiny.test_items_of(u)]
+    assert any(
+        np.allclose(batch["y_seren"][u, j], e) for j in range(4) for e in te_embs
+    )
+
+    model = SerenTransformer(embed_dim=dim, n_reviews=6)
+    trainer = SerenTrainer(model=model, lr=1e-3, n_pos=4)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), 6, 8, dim)
+    step = trainer.make_train_step()
+    jb = {k: jnp.asarray(v[:16]) for k, v in batch.items()}
+    params, opt_state, key, loss = step(params, opt_state, jb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    test_b = build_seren_test_batch(tiny, ei, n_reviews=6, n_cand=10)
+    ev = trainer.make_eval_step()
+    scores = np.asarray(ev(params, jnp.asarray(test_b["history"][:8]),
+                           jnp.asarray(test_b["y_cand"][:8])))
+    m = SerenTrainer.ranking_metrics(scores)
+    assert 0.0 <= m["hr@10"] <= 1.0
