@@ -185,7 +185,13 @@ def main(argv=None) -> None:
     sp.add_argument("overrides", nargs="*")
     sp.set_defaults(fn=cmd_eval)
 
-    args = p.parse_args(argv)
+    # argparse can't interleave `key=value` positionals with optionals; collect
+    # any leftover overrides from parse_known_args instead of erroring
+    args, extra = p.parse_known_args(argv)
+    bad = [e for e in extra if "=" not in e]
+    if bad:
+        p.error(f"unrecognized arguments: {' '.join(bad)}")
+    args.overrides = list(getattr(args, "overrides", [])) + extra
     args.fn(args)
 
 

@@ -106,7 +106,14 @@ class SerendipityEvaluator:
 
         if self.inter.item_counts is None or self.inter.item_mean_ratings is None:
             derive_item_metadata(self.inter)
-        mean_rating = np.asarray(self.inter.item_mean_ratings, np.float32)
+        # datasets without rating columns (adjacency-list format) have no mean
+        # ratings even after derivation; quality degenerates to a constant
+        mean_rating = np.asarray(
+            self.inter.item_mean_ratings
+            if self.inter.item_mean_ratings is not None
+            else np.zeros(self.n_items),
+            np.float32,
+        )
         counts = np.asarray(self.inter.item_counts, np.float32)
         half = k // 2
         qua_vals = mean_rating[candidates]

@@ -188,4 +188,8 @@ class BPRTrainer:
         all_u, all_i = jax.jit(
             lambda p: self.model.propagate(p, self.data.adj, spmm_ops=self.data.spmm_ops)
         )(state.params)
-        return np.asarray(all_u), np.asarray(all_i)
+        # numpy has no bfloat16 — export as f32 regardless of compute dtype
+        return (
+            np.asarray(all_u.astype(jnp.float32)),
+            np.asarray(all_i.astype(jnp.float32)),
+        )

@@ -1,0 +1,68 @@
+"""CLI end-to-end: raw CSV -> preprocess -> train -> eval -> pipeline, all through
+the command-line entry points on a tiny synthetic dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from serendipity_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def raw_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("raw") / "ratings.csv"
+    rng = np.random.default_rng(0)
+    n = 4000
+    users = rng.integers(0, 60, n)
+    items = rng.integers(0, 90, n)
+    with open(p, "w") as f:
+        f.write("userInd,itemInd,rating,timestamp\n")
+        for u, i in zip(users, items):
+            f.write(f"{u},{i},{rng.uniform(1, 5):.2f},{rng.uniform(0, 1e6):.0f}\n")
+    return str(p)
+
+
+def test_cli_preprocess_train_pipeline(raw_csv, tmp_path, monkeypatch):
+    out_ds = str(tmp_path / "ds")
+    cli.main([
+        "preprocess", "--input", raw_csv, "--output", out_ds,
+        "data.k_core=3",
+    ])
+    assert os.path.exists(os.path.join(out_ds, "train.txt"))
+    assert os.path.exists(os.path.join(out_ds, "rating_train.csv"))
+    assert os.path.exists(os.path.join(out_ds, "item.csv"))
+    assert os.path.exists(os.path.join(out_ds, "proNE_ui_graph.txt"))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "train", f"data.path={out_ds}", "data.name=tiny",
+        "model.embed_dim=8", "model.n_layers=1",
+        "train.epochs=2", "train.eval_every=1", "train.batch_size=64",
+        "eval.user_batch=32",
+    ])
+    emb_dir = tmp_path / "runs" / "tiny"
+    assert (emb_dir / "emb_user.npy").exists()
+    rec = json.loads((emb_dir / "result.jsonl").read_text().splitlines()[-1])
+    assert "recall@20" in rec
+
+    cli.main([
+        "eval", "--embeddings", str(emb_dir),
+        f"data.path={out_ds}", "eval.user_batch=32",
+    ])
+
+    cli.main([
+        "prone", f"data.path={out_ds}", "data.name=tiny", "prone.dim=8",
+    ])
+    assert (emb_dir / "emb_user_proNE.npy").exists()
+
+    cli.main([
+        "pipeline", f"data.path={out_ds}", "data.name=tiny",
+        "--embeddings", str(emb_dir),
+        "--fuse", "acc:0.5,nov:0.5",
+        "rec.n_candidates=20", "rec.top_k=5", "rec.seeds=(1,)",
+    ])
+    assert (emb_dir / "res" / "summary.json").exists()
+    summary = json.loads((emb_dir / "res" / "summary.json").read_text())
+    assert "0.5acc_0.5nov" in summary["methods"]
