@@ -25,6 +25,25 @@ def _cfg(overrides: List[str]) -> ExperimentConfig:
     return apply_overrides(ExperimentConfig(), overrides)
 
 
+def expand_fusion_specs(fuse, fuse_sweep):
+    """--fuse "acc:0.5,nov:0.5" specs + --fuse-sweep "acc,div" 9-point weight grids
+    (the reference's merge-weight sweep, `main.py:63-75`)."""
+    specs = []
+    for spec in fuse or []:
+        names, weights = [], []
+        for part in spec.split(","):
+            n, w = part.split(":")
+            names.append(n)
+            weights.append(float(w))
+        specs.append((names, weights))
+    for spec in fuse_sweep or []:
+        a, b = spec.split(",")
+        for w10 in range(1, 10):
+            w = w10 / 10.0
+            specs.append(([a, b], [round(w, 1), round(1 - w, 1)]))
+    return specs or None
+
+
 def cmd_train(args) -> None:
     from serendipity_tpu.train.runner import run_training
 
@@ -64,16 +83,7 @@ def cmd_pipeline(args) -> None:
     else:
         res = run_training(cfg, inter=inter)
         emb_u, emb_i = res["emb_user"], res["emb_item"]
-    fusion_specs = None
-    if args.fuse:
-        fusion_specs = []
-        for spec in args.fuse:           # e.g. "acc:0.5,nov:0.5"
-            names, weights = [], []
-            for part in spec.split(","):
-                n, w = part.split(":")
-                names.append(n)
-                weights.append(float(w))
-            fusion_specs.append((names, weights))
+    fusion_specs = expand_fusion_specs(args.fuse, args.fuse_sweep)
     out_dir = os.path.join(cfg.out_dir, cfg.data.name)
     run_study(
         inter, emb_u, emb_i, cfg, out_dir=out_dir, fusion_specs=fusion_specs,
@@ -169,6 +179,10 @@ def main(argv=None) -> None:
     sp = sub.add_parser("pipeline", help="full serendipity study")
     sp.add_argument("--embeddings", help="dir with trained emb_user/item.npy")
     sp.add_argument("--fuse", action="append", help='fusion spec "acc:0.5,nov:0.5"')
+    sp.add_argument(
+        "--fuse-sweep", action="append", dest="fuse_sweep",
+        help='two-factor weight sweep "acc,div" -> w/(1-w) for w in 0.1..0.9',
+    )
     sp.add_argument("--disentanglement", action="store_true")
     sp.add_argument("overrides", nargs="*")
     sp.set_defaults(fn=cmd_pipeline)

@@ -66,3 +66,15 @@ def test_cli_preprocess_train_pipeline(raw_csv, tmp_path, monkeypatch):
     assert (emb_dir / "res" / "summary.json").exists()
     summary = json.loads((emb_dir / "res" / "summary.json").read_text())
     assert "0.5acc_0.5nov" in summary["methods"]
+
+
+def test_fuse_sweep_parsing():
+    """--fuse / --fuse-sweep expansion (the reference 9-point weight grid)."""
+    from serendipity_tpu.cli import expand_fusion_specs
+
+    specs = expand_fusion_specs(["acc:0.5,nov:0.5"], ["acc,div"])
+    assert specs[0] == (["acc", "nov"], [0.5, 0.5])
+    assert len(specs) == 10
+    assert specs[1] == (["acc", "div"], [0.1, 0.9])
+    assert specs[-1] == (["acc", "div"], [0.9, 0.1])
+    assert expand_fusion_specs(None, None) is None
