@@ -55,22 +55,35 @@ class Evaluator:
         self.users_batched = users_pad.reshape(n_batches, b)
         self.valid_batched = valid.reshape(n_batches, b)
 
-        # padded per-batch train-item scatter lists (dummy row index = b)
+        # padded per-batch train-item scatter lists (dummy row index = b), built
+        # fully vectorized (the python per-user loop cost minutes at 162k users)
         tr_ptr, tr_idx = inter.train_indptr, inter.train_indices
         deg = np.diff(tr_ptr)
-        batch_nnz = [int(deg[u].sum()) for u in self.users_batched]
-        m = max(max(batch_nnz), 1)
+        deg_sel = np.where(valid, deg[users_pad], 0).astype(np.int64)
+        total = int(deg_sel.sum())
+        # flat positions into tr_idx for every (padded user, own-item) pair
+        starts = tr_ptr[users_pad]
+        csum = np.zeros(pad_n + 1, np.int64)
+        np.cumsum(deg_sel, out=csum[1:])
+        pos = (
+            np.repeat(starts, deg_sel)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(csum[:-1], deg_sel)
+        )
+        items_flat = tr_idx[pos].astype(np.int32)
+        rows_flat = np.repeat(
+            (np.arange(pad_n, dtype=np.int32) % b), deg_sel
+        )
+        batch_of = np.repeat(np.arange(pad_n, dtype=np.int64) // b, deg_sel)
+        batch_nnz = np.bincount(batch_of, minlength=n_batches)
+        m = max(int(batch_nnz.max()), 1)
         rows = np.full((n_batches, m), b, dtype=np.int32)
         items = np.zeros((n_batches, m), dtype=np.int32)
-        for bi, batch_users in enumerate(self.users_batched):
-            off = 0
-            for r, u in enumerate(batch_users):
-                if not self.valid_batched[bi, r]:
-                    continue
-                its = tr_idx[tr_ptr[u]:tr_ptr[u + 1]]
-                rows[bi, off:off + len(its)] = r
-                items[bi, off:off + len(its)] = its
-                off += len(its)
+        bstart = np.zeros(n_batches + 1, np.int64)
+        np.cumsum(batch_nnz, out=bstart[1:])
+        within = np.arange(total, dtype=np.int64) - bstart[batch_of]
+        rows[batch_of, within] = rows_flat
+        items[batch_of, within] = items_flat
         self.mask_rows = jnp.asarray(rows)
         self.mask_items = jnp.asarray(items)
         self.users_dev = jnp.asarray(self.users_batched)
