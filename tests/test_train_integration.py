@@ -98,3 +98,19 @@ def test_checkpoint_roundtrip(small_cfg, tiny_inter, tmp_path):
     # resumed training continues
     state2, loss, _ = trainer.train_epoch(state2)
     assert np.isfinite(loss) and state2.epoch == 2
+
+
+def test_multi_cutoff_eval(small_cfg, tiny_inter):
+    """Cumulative metric vectors serve several cutoffs from one pass."""
+    from serendipity_tpu.config import apply_overrides
+
+    cfg = apply_overrides(small_cfg, ["eval.topks=(5, 10, 20)"])
+    data = build_device_data(tiny_inter)
+    model = build_model(cfg, tiny_inter.n_users, tiny_inter.n_items)
+    trainer = BPRTrainer(cfg, model, data)
+    ev = Evaluator(model, data, tiny_inter, cfg.eval)
+    m = ev.evaluate(trainer.init_state().params)
+    for k in (5, 10, 20):
+        assert f"recall@{k}" in m and f"ndcg@{k}" in m
+    # recall is monotone in k
+    assert m["recall@5"] <= m["recall@10"] <= m["recall@20"]
