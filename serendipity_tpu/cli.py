@@ -139,10 +139,19 @@ def cmd_eval(args) -> None:
     model = build_model(cfg, inter.n_users, inter.n_items)
     import jax.numpy as jnp
 
+    all_emb = (jnp.asarray(emb_u), jnp.asarray(emb_i))
     ev = Evaluator(model, data, inter, cfg.eval)
-    metrics = ev.evaluate(None, all_emb=(jnp.asarray(emb_u), jnp.asarray(emb_i)))
+    metrics = ev.evaluate(None, all_emb=all_emb)
     for k, v in metrics.items():
         print(f"{k} = {v:.5f}")
+    if cfg.eval.auc:
+        print(f"auc = {ev.evaluate_auc(None, all_emb=all_emb):.5f}")
+    if cfg.eval.report:
+        from serendipity_tpu.train.evaluator import sparsity_report
+
+        for state, m in sparsity_report(model, data, inter, cfg.eval, all_emb=all_emb):
+            print(state)
+            print("  " + "  ".join(f"{k}={v:.5f}" for k, v in m.items()))
 
 
 def _enable_compilation_cache() -> None:

@@ -78,6 +78,10 @@ class EvalConfig:
     topks: Tuple[int, ...] = (20,)
     user_batch: int = 1024
     metrics: Tuple[str, ...] = ("precision", "recall", "ap", "ndcg", "mrr")
+    # per-user ROC AUC over non-train items (`code/utils.py:265-274`)
+    auc: bool = False
+    # sparsity-level performance report (`LightGCN-tf/LightGCN.py:526-560`, --report)
+    report: bool = False
 
 
 @dataclass

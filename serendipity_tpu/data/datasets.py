@@ -242,6 +242,75 @@ def load_serendipity_csv(path: str) -> Interactions:
     return inter
 
 
+def sparsity_split(
+    inter: Interactions, n_folds: int = 4
+) -> Tuple[List[np.ndarray], List[str]]:
+    """Group test users into sparsity levels, the contract of
+    `LightGCN-tf/utility/load_data.py:274-323` (`create_sparsity_split`).
+
+    Test users are bucketed by total interaction count (train + test degree); buckets
+    are swept in ascending order and a fold closes whenever its accumulated rating
+    volume reaches 1/n_folds of the global total.  Returns (uid arrays, state strings)
+    with the reference's state-string format.  Deviation: a trailing empty fold (which
+    the reference can append when the last bucket closes a fold exactly) is dropped.
+    """
+    test_deg = np.diff(inter.test_indptr)
+    test_users = np.nonzero(test_deg > 0)[0]
+    n_iids = np.diff(inter.train_indptr)[test_users] + test_deg[test_users]
+    total = inter.n_train + inter.n_test
+
+    split_uids: List[np.ndarray] = []
+    split_state: List[str] = []
+    order = np.argsort(n_iids, kind="stable")
+    uids_sorted, deg_sorted = test_users[order], n_iids[order]
+    temp: List[np.ndarray] = []
+    n_rates = 0
+    for d in np.unique(deg_sorted):
+        bucket = uids_sorted[deg_sorted == d]
+        temp.append(bucket)
+        n_rates += int(d) * len(bucket)
+        if n_rates >= total / n_folds or d == deg_sorted[-1]:
+            uids = np.concatenate(temp)
+            split_uids.append(uids.astype(np.int32))
+            split_state.append(
+                "#inter per user<=[%d], #users=[%d], #all rates=[%d]"
+                % (int(d), len(uids), n_rates)
+            )
+            temp, n_rates = [], 0
+    return split_uids, split_state
+
+
+def load_lastfm(
+    path: str,
+) -> Tuple[Interactions, np.ndarray]:
+    """Load the LastFM table format of `code/dataloader.py:72-112` (`LastFM`).
+
+    `data1.txt` / `test1.txt` are tab-separated 1-indexed (user, item, ...) tables;
+    `trustnetwork.txt` is a 1-indexed user-user social edge list.  Returns the
+    bipartite `Interactions` plus the 0-indexed social edge array [E, 2] (the social
+    net is carried but, as in the reference LightGCN, not used in propagation).
+    """
+    def read_table(fname: str) -> np.ndarray:
+        arr = np.loadtxt(os.path.join(path, fname), dtype=np.int64, ndmin=2)
+        return arr - 1  # 1-indexed on disk (`dataloader.py:91-93`)
+
+    train = read_table("data1.txt")
+    test = read_table("test1.txt")
+    trust_file = os.path.join(path, "trustnetwork.txt")
+    trust = (
+        np.loadtxt(trust_file, dtype=np.int64, ndmin=2) - 1
+        if os.path.exists(trust_file)
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    n_users = int(max(train[:, 0].max(), test[:, 0].max(), trust.max(initial=-1))) + 1
+    n_items = int(max(train[:, 1].max(), test[:, 1].max())) + 1
+    inter = interactions_from_arrays(
+        train[:, 0], train[:, 1], test[:, 0], test[:, 1],
+        n_users=n_users, n_items=n_items,
+    )
+    return inter, trust[:, :2]
+
+
 def derive_item_metadata(inter: Interactions) -> None:
     """Fill item_dates/counts/mean_ratings from train interactions when no item.csv.
 

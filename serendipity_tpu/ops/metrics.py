@@ -78,3 +78,56 @@ def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
     import jax.lax as lax
 
     return lax.associative_scan(jnp.maximum, x, axis=1)
+
+
+def _tie_average_ranks(scores: jnp.ndarray) -> jnp.ndarray:
+    """Per-row 1-based average ranks (ascending), ties sharing their mean position.
+
+    Matches scipy's `rankdata(method='average')` row-wise: sort, find tie runs via
+    neighbor comparison, give each run the mean of its positions, scatter back.
+    Everything is sort/cumsum/associative-scan — no data-dependent shapes.
+    """
+    import jax.lax as lax
+
+    b, n = scores.shape
+    order = jnp.argsort(scores, axis=1)
+    s_sorted = jnp.take_along_axis(scores, order, axis=1)
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32), (b, n))
+    changed = s_sorted[:, 1:] != s_sorted[:, :-1]
+    is_start = jnp.concatenate([jnp.ones((b, 1), bool), changed], axis=1)
+    is_end = jnp.concatenate([changed, jnp.ones((b, 1), bool)], axis=1)
+    run_start = lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, -1.0), axis=1)
+    run_end = jnp.flip(
+        lax.associative_scan(
+            jnp.minimum, jnp.flip(jnp.where(is_end, pos, float(n)), axis=1), axis=1
+        ),
+        axis=1,
+    )
+    avg_rank_sorted = (run_start + run_end) * 0.5 + 1.0
+    inv = jnp.argsort(order, axis=1)
+    return jnp.take_along_axis(avg_rank_sorted, inv, axis=1)
+
+
+def auc_rows(
+    scores: jnp.ndarray,      # [B, N] float
+    pos_mask: jnp.ndarray,    # [B, N] bool: ground-truth (test) items
+    valid_mask: jnp.ndarray,  # [B, N] bool: items that participate (non-train)
+) -> jnp.ndarray:
+    """Per-user ROC AUC, the contract of `code/utils.py:265-274` (reference AUC):
+    labels 1 on test items, candidates = all items except the user's train items,
+    sklearn `roc_auc_score` semantics (tie-averaged ranks).
+
+    Mann-Whitney form: AUC = (sum of positive ranks - P(P+1)/2) / (P*N).  Invalid
+    entries are pushed below the row minimum so they occupy the lowest ranks as a
+    block and subtract out exactly.  Rows with no positive or no negative return 0.
+    """
+    neg_fill = jnp.min(jnp.where(valid_mask, scores, jnp.inf), axis=1, keepdims=True) - 1.0
+    s = jnp.where(valid_mask, scores, neg_fill)
+    ranks = _tie_average_ranks(s)
+    n_invalid = jnp.sum(~valid_mask, axis=1).astype(jnp.float32)
+    pos = pos_mask & valid_mask
+    n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)
+    n_neg = jnp.sum(valid_mask, axis=1).astype(jnp.float32) - n_pos
+    rank_sum = jnp.sum(jnp.where(pos, ranks, 0.0), axis=1) - n_pos * n_invalid
+    auc = (rank_sum - n_pos * (n_pos + 1.0) * 0.5) / jnp.maximum(n_pos * n_neg, 1.0)
+    return jnp.where((n_pos > 0) & (n_neg > 0), auc, 0.0)

@@ -11,21 +11,116 @@ Train-item masking follows `batch_test.py:62-64` / `Procedure.py:129-134`: posit
 of a user's train items get -inf before top-k.  The scatter uses per-batch padded
 (row, item) pairs with a dummy row, precomputed once on the host, so shapes stay
 static under jit.
+
+Also covers the reference's per-user ROC AUC (`code/utils.py:265-274`) and the
+sparsity-level performance report (`LightGCN-tf/LightGCN.py:526-560`,
+`load_data.py:274-323`): `evaluate_auc` and `sparsity_report` below.
+
+The batch functions are module-level jits so Evaluator instances with the same batch
+shape (e.g. one per sparsity level) share a single compiled executable.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from functools import partial
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from serendipity_tpu.config import EvalConfig
-from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.data.datasets import Interactions, sparsity_split
 from serendipity_tpu.models.lightgcn import EmbeddingModel, Params
-from serendipity_tpu.ops.metrics import hit_matrix, ranking_metrics_cumulative
+from serendipity_tpu.ops.metrics import auc_rows, hit_matrix, ranking_metrics_cumulative
 from serendipity_tpu.train.device import DeviceData
+
+
+def _padded_scatter(
+    users_pad: np.ndarray,   # [P] padded user ids
+    valid: np.ndarray,       # [P] bool — padded slots contribute nothing
+    ptr: np.ndarray,
+    idx: np.ndarray,
+    b: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-batch padded (row, item) scatter lists from a CSR, dummy row index = b.
+
+    Fully vectorized (a python per-user loop costs minutes at 162k users).  Returns
+    (rows [n_batches, m], items [n_batches, m]).
+    """
+    pad_n = len(users_pad)
+    n_batches = pad_n // b
+    deg = np.diff(ptr)
+    deg_sel = np.where(valid, deg[users_pad], 0).astype(np.int64)
+    total = int(deg_sel.sum())
+    starts = ptr[users_pad]
+    csum = np.zeros(pad_n + 1, np.int64)
+    np.cumsum(deg_sel, out=csum[1:])
+    pos = (
+        np.repeat(starts, deg_sel)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(csum[:-1], deg_sel)
+    )
+    items_flat = idx[pos].astype(np.int32)
+    rows_flat = np.repeat((np.arange(pad_n, dtype=np.int32) % b), deg_sel)
+    batch_of = np.repeat(np.arange(pad_n, dtype=np.int64) // b, deg_sel)
+    batch_nnz = np.bincount(batch_of, minlength=n_batches)
+    m = max(int(batch_nnz.max(initial=0)), 1)
+    rows = np.full((n_batches, m), b, dtype=np.int32)
+    items = np.zeros((n_batches, m), dtype=np.int32)
+    bstart = np.zeros(n_batches + 1, np.int64)
+    np.cumsum(batch_nnz, out=bstart[1:])
+    within = np.arange(total, dtype=np.int64) - bstart[batch_of]
+    rows[batch_of, within] = rows_flat
+    items[batch_of, within] = items_flat
+    return rows, items
+
+
+def _masked_scores(all_u, all_i, users, mask_rows, mask_items, b):
+    scores = all_u[users] @ all_i.T                           # [b, n_items] (MXU)
+    scores = jnp.concatenate(
+        [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0
+    )
+    return scores.at[mask_rows, mask_items].set(-jnp.inf)[:b]
+
+
+@partial(jax.jit, static_argnames=("max_k",))
+def _eval_batch(
+    all_u, all_i, users, valid, mask_rows, mask_items, test_indptr, test_indices,
+    *, max_k: int,
+):
+    b = users.shape[0]
+    scores = _masked_scores(all_u, all_i, users, mask_rows, mask_items, b)
+    # exact two-stage top-k: ~10x cheaper than lax.top_k's full sort at
+    # catalog widths (see ops/topk.py)
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    _, top_items = topk_exact_2stage(scores, max_k)           # [b, K]
+
+    lo = test_indptr[users]
+    hi = test_indptr[users + 1]
+    hits = hit_matrix(top_items, lo, hi, test_indices)
+    truth_len = (hi - lo).astype(jnp.float32)
+    per_user = ranking_metrics_cumulative(hits, truth_len)
+    w = valid.astype(jnp.float32)[:, None]
+    sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
+    return sums, jnp.sum(w)
+
+
+@jax.jit
+def _auc_batch(
+    all_u, all_i, users, valid, mask_rows, mask_items, pos_rows, pos_items
+):
+    """Sum of per-user AUC over the batch (reference `code/utils.py:265-274`:
+    candidates = all items minus the user's train items, labels = test items)."""
+    b = users.shape[0]
+    n = all_i.shape[0]
+    scores = all_u[users] @ all_i.T
+    valid_m = jnp.ones((b + 1, n), bool).at[mask_rows, mask_items].set(False)[:b]
+    pos_m = jnp.zeros((b + 1, n), bool).at[pos_rows, pos_items].set(True)[:b]
+    auc = auc_rows(scores, pos_m, valid_m)
+    w = valid.astype(jnp.float32)
+    return jnp.sum(auc * w), jnp.sum(w)
 
 
 class Evaluator:
@@ -35,6 +130,7 @@ class Evaluator:
         data: DeviceData,
         inter: Interactions,
         cfg: EvalConfig,
+        user_subset: Optional[np.ndarray] = None,
     ):
         self.model = model
         self.data = data
@@ -42,9 +138,13 @@ class Evaluator:
         self.max_k = max(cfg.topks)
 
         # test users = users with >=1 test item (`batch_test.py:34-36` evaluates
-        # users_to_test = test_set keys)
+        # users_to_test = test_set keys); user_subset restricts to a sparsity level
         test_deg = np.diff(inter.test_indptr)
-        test_users = np.nonzero(test_deg > 0)[0].astype(np.int32)
+        if user_subset is None:
+            test_users = np.nonzero(test_deg > 0)[0].astype(np.int32)
+        else:
+            test_users = np.asarray(user_subset, dtype=np.int32)
+            test_users = test_users[test_deg[test_users] > 0]
         b = cfg.user_batch
         n_batches = max(1, -(-len(test_users) // b))
         pad_n = n_batches * b
@@ -55,71 +155,22 @@ class Evaluator:
         self.users_batched = users_pad.reshape(n_batches, b)
         self.valid_batched = valid.reshape(n_batches, b)
 
-        # padded per-batch train-item scatter lists (dummy row index = b), built
-        # fully vectorized (the python per-user loop cost minutes at 162k users)
-        tr_ptr, tr_idx = inter.train_indptr, inter.train_indices
-        deg = np.diff(tr_ptr)
-        deg_sel = np.where(valid, deg[users_pad], 0).astype(np.int64)
-        total = int(deg_sel.sum())
-        # flat positions into tr_idx for every (padded user, own-item) pair
-        starts = tr_ptr[users_pad]
-        csum = np.zeros(pad_n + 1, np.int64)
-        np.cumsum(deg_sel, out=csum[1:])
-        pos = (
-            np.repeat(starts, deg_sel)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(csum[:-1], deg_sel)
+        rows, items = _padded_scatter(
+            users_pad, valid, inter.train_indptr, inter.train_indices, b
         )
-        items_flat = tr_idx[pos].astype(np.int32)
-        rows_flat = np.repeat(
-            (np.arange(pad_n, dtype=np.int32) % b), deg_sel
-        )
-        batch_of = np.repeat(np.arange(pad_n, dtype=np.int64) // b, deg_sel)
-        batch_nnz = np.bincount(batch_of, minlength=n_batches)
-        m = max(int(batch_nnz.max()), 1)
-        rows = np.full((n_batches, m), b, dtype=np.int32)
-        items = np.zeros((n_batches, m), dtype=np.int32)
-        bstart = np.zeros(n_batches + 1, np.int64)
-        np.cumsum(batch_nnz, out=bstart[1:])
-        within = np.arange(total, dtype=np.int64) - bstart[batch_of]
-        rows[batch_of, within] = rows_flat
-        items[batch_of, within] = items_flat
         self.mask_rows = jnp.asarray(rows)
         self.mask_items = jnp.asarray(items)
+        prow, pitem = _padded_scatter(
+            users_pad, valid, inter.test_indptr, inter.test_indices, b
+        )
+        self.pos_rows = jnp.asarray(prow)
+        self.pos_items = jnp.asarray(pitem)
         self.users_dev = jnp.asarray(self.users_batched)
         self.valid_dev = jnp.asarray(self.valid_batched)
 
         self._propagate = jax.jit(
             lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
         )
-        self._batch_fn = jax.jit(self._build_batch_fn())
-
-    def _build_batch_fn(self):
-        data, max_k = self.data, self.max_k
-        b = self.cfg.user_batch
-
-        def batch_fn(all_u, all_i, users, valid, mask_rows, mask_items):
-            scores = all_u[users] @ all_i.T                       # [b, n_items] (MXU)
-            scores = jnp.concatenate(
-                [scores, jnp.zeros((1, scores.shape[1]), scores.dtype)], axis=0
-            )
-            scores = scores.at[mask_rows, mask_items].set(-jnp.inf)[:b]
-            # exact two-stage top-k: ~10x cheaper than lax.top_k's full sort at
-            # catalog widths (see ops/topk.py)
-            from serendipity_tpu.ops.topk import topk_exact_2stage
-
-            _, top_items = topk_exact_2stage(scores, max_k)       # [b, K]
-
-            lo = data.test_indptr[users]
-            hi = data.test_indptr[users + 1]
-            hits = hit_matrix(top_items, lo, hi, data.test_indices)
-            truth_len = (hi - lo).astype(jnp.float32)
-            per_user = ranking_metrics_cumulative(hits, truth_len)
-            w = valid.astype(jnp.float32)[:, None]
-            sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
-            return sums, jnp.sum(w)
-
-        return batch_fn
 
     def evaluate(
         self, params: Params, all_emb: Optional[tuple] = None
@@ -132,10 +183,12 @@ class Evaluator:
         totals: Dict[str, np.ndarray] = {}
         n = 0.0
         for bi in range(self.users_dev.shape[0]):
-            sums, cnt = self._batch_fn(
+            sums, cnt = _eval_batch(
                 all_u, all_i,
                 self.users_dev[bi], self.valid_dev[bi],
                 self.mask_rows[bi], self.mask_items[bi],
+                self.data.test_indptr, self.data.test_indices,
+                max_k=self.max_k,
             )
             n += float(cnt)
             for k, v in sums.items():
@@ -146,3 +199,46 @@ class Evaluator:
             for k in self.cfg.topks:
                 out[f"{metric}@{k}"] = float(totals[metric][k - 1] / max(n, 1.0))
         return out
+
+    def evaluate_auc(
+        self, params: Params, all_emb: Optional[tuple] = None
+    ) -> float:
+        """Mean per-user ROC AUC over test users (`code/utils.py:265-274`)."""
+        if all_emb is None:
+            all_u, all_i = self._propagate(params)
+        else:
+            all_u, all_i = all_emb
+        tot, n = 0.0, 0.0
+        for bi in range(self.users_dev.shape[0]):
+            s, cnt = _auc_batch(
+                all_u, all_i,
+                self.users_dev[bi], self.valid_dev[bi],
+                self.mask_rows[bi], self.mask_items[bi],
+                self.pos_rows[bi], self.pos_items[bi],
+            )
+            tot += float(s)
+            n += float(cnt)
+        return tot / max(n, 1.0)
+
+
+def sparsity_report(
+    model: EmbeddingModel,
+    data: DeviceData,
+    inter: Interactions,
+    cfg: EvalConfig,
+    params: Optional[Params] = None,
+    all_emb: Optional[tuple] = None,
+) -> List[Tuple[str, Dict[str, float]]]:
+    """Per-sparsity-level metrics, the contract of the reference `--report` path
+    (`LightGCN-tf/LightGCN.py:526-560`): split test users into rating-volume
+    quartiles and evaluate each group independently."""
+    groups, states = sparsity_split(inter)
+    if all_emb is None:
+        all_emb = jax.jit(
+            lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
+        )(params)
+    out = []
+    for uids, state in zip(groups, states):
+        ev = Evaluator(model, data, inter, cfg, user_subset=uids)
+        out.append((state, ev.evaluate(params, all_emb=all_emb)))
+    return out

@@ -74,6 +74,14 @@ def run_training(
     train_time = time.perf_counter() - t0
 
     final = evaluator.evaluate(state.params)
+    if cfg.eval.auc:
+        final["auc"] = evaluator.evaluate_auc(state.params)
+    if cfg.eval.report:
+        from serendipity_tpu.train.evaluator import sparsity_report
+
+        for sstate, m in sparsity_report(model, data, inter, cfg.eval, state.params):
+            log_fn(sstate)
+            log_fn("  " + "  ".join(f"{k}={v:.5f}" for k, v in m.items()))
     emb_user, emb_item = trainer.export_embeddings(state)
 
     os.makedirs(out_dir, exist_ok=True)

@@ -159,3 +159,38 @@ def test_topk_exact_2stage():
             np.take_along_axis(s, np.asarray(i), 1),
             np.take_along_axis(s, ref_i, 1), rtol=1e-6,
         )
+
+
+def test_auc_rows_vs_sklearn():
+    """auc_rows must match sklearn roc_auc_score per user, incl. tie handling and
+    train-item exclusion (`code/utils.py:265-274` semantics)."""
+    from sklearn.metrics import roc_auc_score
+
+    from serendipity_tpu.ops.metrics import auc_rows
+
+    rng = np.random.default_rng(3)
+    b, n = 12, 200
+    scores = np.round(rng.normal(size=(b, n)), 1)  # coarse grid → many ties
+    valid = rng.random((b, n)) > 0.2
+    pos = (rng.random((b, n)) > 0.9) & valid
+    # guarantee >=1 pos and >=1 neg per row
+    for r in range(b):
+        vi = np.nonzero(valid[r])[0]
+        pos[r, vi[0]] = True
+        pos[r, vi[1]] = False
+
+    got = np.asarray(auc_rows(jnp.asarray(scores), jnp.asarray(pos), jnp.asarray(valid)))
+    for r in range(b):
+        want = roc_auc_score(pos[r, valid[r]], scores[r, valid[r]])
+        assert got[r] == pytest.approx(want, abs=1e-6), r
+
+
+def test_auc_rows_degenerate_rows():
+    from serendipity_tpu.ops.metrics import auc_rows
+
+    s = jnp.asarray([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]])
+    pos = jnp.asarray([[1, 1, 1], [0, 0, 0], [0, 0, 1]], bool)
+    valid = jnp.ones((3, 3), bool)
+    out = np.asarray(auc_rows(s, pos, valid))
+    assert out[0] == 0.0 and out[1] == 0.0  # no-neg / no-pos rows
+    assert out[2] == 1.0  # single top-ranked positive
