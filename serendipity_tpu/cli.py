@@ -135,7 +135,7 @@ def cmd_eval(args) -> None:
     inter = load_dataset(cfg)
     emb_u = np.load(os.path.join(args.embeddings, "emb_user.npy"))
     emb_i = np.load(os.path.join(args.embeddings, "emb_item.npy"))
-    data = build_device_data(inter)
+    data = build_device_data(inter, adj_type=cfg.model.adj_type)
     model = build_model(cfg, inter.n_users, inter.n_items)
     import jax.numpy as jnp
 

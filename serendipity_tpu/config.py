@@ -45,6 +45,12 @@ class ModelConfig:
     # edge ("node") dropout on the sparse adjacency (`LightGCN.py:364-374`);
     # 0.0 disables (the bundled result used node_dropout_flag with 0.1).
     edge_dropout: float = 0.0
+    # per-layer message dropout for ngcf/gcn/gcmc (`--mess_dropout`; present but
+    # commented out in the reference layer code, so the parity default is 0)
+    mess_dropout: float = 0.0
+    # adjacency operator: pre | plain | norm | gcmc (`--adj_type`,
+    # `LightGCN.py:444-456`; `pre` = D^-1/2 A D^-1/2 produced every baseline)
+    adj_type: str = "pre"
     param_dtype: str = "float32"
     # propagation/matmul dtype.  bf16 is the TPU-native default: measured BETTER
     # mlls quality than f32 (recall@20 0.16391 vs 0.16248, within run variance of

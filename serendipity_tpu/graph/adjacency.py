@@ -44,6 +44,10 @@ class BipartiteAdjacency:
     i_w: np.ndarray              # [E_pad] float32
     user_degrees: np.ndarray     # [n_users] int32 train degrees
     item_degrees: np.ndarray     # [n_items] int32
+    # self-loop diagonal of the normalized (U+I)x(U+I) operator; nonzero only for
+    # adj_type="norm" (row-normalized A+I, `load_data.py:142`)
+    self_w_u: np.ndarray | None = None   # [n_users] float32
+    self_w_i: np.ndarray | None = None   # [n_items] float32
 
     @property
     def n_edges_padded(self) -> int:
@@ -57,23 +61,52 @@ def _pad_to(arr: np.ndarray, size: int, fill) -> np.ndarray:
 
 
 def build_normalized_adjacency(
-    inter: Interactions, pad_multiple: int = 1024
+    inter: Interactions, pad_multiple: int = 1024, adj_type: str = "pre"
 ) -> BipartiteAdjacency:
+    """Edge-list adjacency for any of the reference's four operators
+    (`LightGCN-tf/utility/load_data.py:77-146`, selected by `--adj_type`,
+    `LightGCN.py:444-456`):
+
+      pre    D^-1/2 A D^-1/2        (symmetric; the LightGCN default)
+      plain  A                      (raw 0/1)
+      gcmc   D^-1 A                 ("mean" / single-normalized, no self loop)
+      norm   D'^-1 (A + I)          (row-normalized with self loops; the diagonal
+                                     lands in self_w_u / self_w_i)
+    """
     deg_u = np.diff(inter.train_indptr).astype(np.float64)
     deg_i = np.diff(inter.train_indptr_by_item).astype(np.float64)
-    # D^-1/2 with 0 for isolated nodes (`dataloader.py:356-358`: inf -> 0)
-    inv_sqrt_u = np.where(deg_u > 0, 1.0 / np.sqrt(np.maximum(deg_u, 1)), 0.0)
-    inv_sqrt_i = np.where(deg_i > 0, 1.0 / np.sqrt(np.maximum(deg_i, 1)), 0.0)
 
     users_by_u, items_by_u = inter.train_user_item_pairs()
-    w_by_u = (inv_sqrt_u[users_by_u] * inv_sqrt_i[items_by_u]).astype(np.float32)
-
     users_by_i = np.repeat(
         np.arange(inter.n_items, dtype=np.int32),
         np.diff(inter.train_indptr_by_item),
     )  # these are the item (dst) ids in CSR-by-item order
     srcs_by_i = inter.train_indices_by_item
-    w_by_i = (inv_sqrt_i[users_by_i] * inv_sqrt_u[srcs_by_i]).astype(np.float32)
+
+    self_w_u = self_w_i = None
+    if adj_type == "pre":
+        # D^-1/2 with 0 for isolated nodes (`dataloader.py:356-358`: inf -> 0)
+        inv_sqrt_u = np.where(deg_u > 0, 1.0 / np.sqrt(np.maximum(deg_u, 1)), 0.0)
+        inv_sqrt_i = np.where(deg_i > 0, 1.0 / np.sqrt(np.maximum(deg_i, 1)), 0.0)
+        w_by_u = (inv_sqrt_u[users_by_u] * inv_sqrt_i[items_by_u]).astype(np.float32)
+        w_by_i = (inv_sqrt_i[users_by_i] * inv_sqrt_u[srcs_by_i]).astype(np.float32)
+    elif adj_type == "plain":
+        w_by_u = np.ones(users_by_u.shape[0], dtype=np.float32)
+        w_by_i = np.ones(users_by_i.shape[0], dtype=np.float32)
+    elif adj_type in ("gcmc", "mean"):
+        inv_u = np.where(deg_u > 0, 1.0 / np.maximum(deg_u, 1), 0.0)
+        inv_i = np.where(deg_i > 0, 1.0 / np.maximum(deg_i, 1), 0.0)
+        w_by_u = inv_u[users_by_u].astype(np.float32)
+        w_by_i = inv_i[users_by_i].astype(np.float32)
+    elif adj_type == "norm":
+        inv_u = 1.0 / (deg_u + 1.0)
+        inv_i = 1.0 / (deg_i + 1.0)
+        w_by_u = inv_u[users_by_u].astype(np.float32)
+        w_by_i = inv_i[users_by_i].astype(np.float32)
+        self_w_u = inv_u.astype(np.float32)
+        self_w_i = inv_i.astype(np.float32)
+    else:
+        raise ValueError(f"unknown adj_type {adj_type!r}")
 
     e = int(items_by_u.shape[0])
     e_pad = ((e + pad_multiple - 1) // pad_multiple) * pad_multiple if e else pad_multiple
@@ -90,4 +123,6 @@ def build_normalized_adjacency(
         i_w=_pad_to(w_by_i, e_pad, 0.0),
         user_degrees=deg_u.astype(np.int32),
         item_degrees=deg_i.astype(np.int32),
+        self_w_u=self_w_u,
+        self_w_i=self_w_i,
     )

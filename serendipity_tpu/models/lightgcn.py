@@ -31,6 +31,11 @@ from serendipity_tpu.ops.spmm import lightgcn_propagate, spmm_edges
 Params = Dict[str, jnp.ndarray]
 
 
+def _leaky_relu(x):
+    # TF default alpha=0.2 (`tf.nn.leaky_relu`), vs jax's 0.01 — parity-sensitive
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
 @dataclass(frozen=True)
 class EmbeddingModel:
     """Static model definition; propagation state lives in the adjacency arrays."""
@@ -41,6 +46,9 @@ class EmbeddingModel:
     embed_dim: int
     n_layers: int
     edge_dropout: float = 0.0
+    # per-layer output dropout for the weighted variants (`mess_dropout`,
+    # `LightGCN.py:287,311,334`); ignored by lightgcn/mf
+    mess_dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
 
     def propagate(
@@ -68,13 +76,19 @@ class EmbeddingModel:
             )
             edge_keep = keep.astype(self.compute_dtype) / keep_prob
 
+        self_u = adj.get("self_u")  # adj_type="norm" diagonal, else None
+        self_i = adj.get("self_i")
         if self.arch == "lightgcn":
             if spmm_ops is not None and edge_keep is None:
                 ui_op, iu_op = spmm_ops
                 u_acc, i_acc = ue, ie
                 u_cur, i_cur = ue, ie
                 for _ in range(self.n_layers):
-                    u_cur, i_cur = ui_op(i_cur), iu_op(u_cur)
+                    u_nxt, i_nxt = ui_op(i_cur), iu_op(u_cur)
+                    if self_u is not None:
+                        u_nxt = u_nxt + self_u[:, None] * u_cur
+                        i_nxt = i_nxt + self_i[:, None] * i_cur
+                    u_cur, i_cur = u_nxt, i_nxt
                     u_acc = u_acc + u_cur
                     i_acc = i_acc + i_cur
                 inv = 1.0 / (self.n_layers + 1)
@@ -85,9 +99,10 @@ class EmbeddingModel:
                 adj["i_dst"], adj["i_src"], adj["i_w"],
                 self.n_layers,
                 edge_keep=edge_keep,
+                self_u=self_u, self_i=self_i,
             )
         if self.arch in ("ngcf", "gcn", "gcmc"):
-            return self._propagate_weighted(params, adj, edge_keep)
+            return self._propagate_weighted(params, adj, edge_keep, dropout_key)
         raise ValueError(f"unknown arch {self.arch!r}")
 
     def _propagate_weighted(
@@ -95,6 +110,7 @@ class EmbeddingModel:
         params: Params,
         adj: Dict[str, jnp.ndarray],
         edge_keep: Optional[jnp.ndarray],
+        dropout_key: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """NGCF / GCN / GCMC variants: per-layer weight matrices, concat outputs.
 
@@ -110,42 +126,66 @@ class EmbeddingModel:
         ue = params["user_embedding"].astype(self.compute_dtype)
         ie = params["item_embedding"].astype(self.compute_dtype)
 
-        u_outs, i_outs = [ue], [ie]
+        def l2norm(x):
+            # exactly tf.math.l2_normalize: x * rsqrt(max(sum(x^2), 1e-12)).  The
+            # rsqrt(max(...)) form is also what keeps gradients finite on all-zero
+            # rows (zero-train-degree nodes), where x/||x|| backprops NaN.
+            sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+            return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+
+        def mess_drop(x, key, k, half):
+            # message dropout on layer outputs (`mess_dropout`; present but commented
+            # out in the reference variants, `LightGCN.py:283,311,334` — default 0)
+            if key is None or self.mess_dropout <= 0.0:
+                return x
+            kp = 1.0 - self.mess_dropout
+            kk = jax.random.fold_in(jax.random.fold_in(key, k), half)
+            return x * jax.random.bernoulli(kk, kp, x.shape) / kp
+
+        self_u, self_i = adj.get("self_u"), adj.get("self_i")
+        # gcmc collects only the per-layer MLP outputs — no ego term
+        # (`LightGCN.py:328`: all_embeddings = [])
+        u_outs, i_outs = ([], []) if self.arch == "gcmc" else ([ue], [ie])
         u_cur, i_cur = ue, ie
         for k in range(self.n_layers):
             w1 = params[f"w_gc_{k}"].astype(self.compute_dtype)
             b1 = params[f"b_gc_{k}"].astype(self.compute_dtype)
+            # side = A_hat @ ego; any self-contribution comes from the adjacency
+            # itself (adj_type="norm" diagonal), exactly as in the TF variants
             u_side = spmm_edges(adj["u_dst"], adj["u_src"], u_w, i_cur, self.n_users)
             i_side = spmm_edges(adj["i_dst"], adj["i_src"], i_w, u_cur, self.n_items)
+            if self_u is not None:
+                u_side = u_side + self_u[:, None] * u_cur
+                i_side = i_side + self_i[:, None] * i_cur
             if self.arch == "gcmc":
-                # A x W (no self loop), then per-layer dense "MLP" projection
-                u_nxt = jax.nn.leaky_relu(u_side @ w1 + b1)
-                i_nxt = jax.nn.leaky_relu(i_side @ w1 + b1)
+                # conv layer then dense layer; conv output is carried forward,
+                # the dense output is what gets collected (`LightGCN.py:318-340`)
+                u_cur = _leaky_relu(u_side @ w1 + b1)
+                i_cur = _leaky_relu(i_side @ w1 + b1)
                 wm = params[f"w_mlp_{k}"].astype(self.compute_dtype)
                 bm = params[f"b_mlp_{k}"].astype(self.compute_dtype)
-                u_nxt = u_nxt @ wm + bm
-                i_nxt = i_nxt @ wm + bm
+                u_outs.append(mess_drop(u_cur @ wm + bm, dropout_key, k, 0))
+                i_outs.append(mess_drop(i_cur @ wm + bm, dropout_key, k, 1))
             elif self.arch == "gcn":
-                u_nxt = jax.nn.leaky_relu((u_side + u_cur) @ w1 + b1)
-                i_nxt = jax.nn.leaky_relu((i_side + i_cur) @ w1 + b1)
-            else:  # ngcf
+                # emb = LeakyReLU((A_hat emb) W + b), collected as-is
+                # (`LightGCN.py:296-316`)
+                u_cur = mess_drop(_leaky_relu(u_side @ w1 + b1), dropout_key, k, 0)
+                i_cur = mess_drop(_leaky_relu(i_side @ w1 + b1), dropout_key, k, 1)
+                u_outs.append(u_cur)
+                i_outs.append(i_cur)
+            else:  # ngcf (`LightGCN.py:255-293`)
                 w2 = params[f"w_bi_{k}"].astype(self.compute_dtype)
                 b2 = params[f"b_bi_{k}"].astype(self.compute_dtype)
-                u_nxt = jax.nn.leaky_relu(
-                    (u_side + u_cur) @ w1 + b1 + (u_side * u_cur) @ w2 + b2
-                )
-                i_nxt = jax.nn.leaky_relu(
-                    (i_side + i_cur) @ w1 + b1 + (i_side * i_cur) @ w2 + b2
-                )
-                u_nxt = u_nxt / jnp.maximum(
-                    jnp.linalg.norm(u_nxt, axis=1, keepdims=True), 1e-12
-                )
-                i_nxt = i_nxt / jnp.maximum(
-                    jnp.linalg.norm(i_nxt, axis=1, keepdims=True), 1e-12
-                )
-            u_cur, i_cur = u_nxt, i_nxt
-            u_outs.append(u_cur)
-            i_outs.append(i_cur)
+                u_sum = _leaky_relu(u_side @ w1 + b1)
+                i_sum = _leaky_relu(i_side @ w1 + b1)
+                u_bi = _leaky_relu((u_cur * u_side) @ w2 + b2)
+                i_bi = _leaky_relu((i_cur * i_side) @ w2 + b2)
+                # the UNnormalized ego is carried; the l2-normalized copy is
+                # what gets collected (`LightGCN.py:281-290`)
+                u_cur = mess_drop(u_sum + u_bi, dropout_key, k, 0)
+                i_cur = mess_drop(i_sum + i_bi, dropout_key, k, 1)
+                u_outs.append(l2norm(u_cur))
+                i_outs.append(l2norm(i_cur))
         return jnp.concatenate(u_outs, axis=1), jnp.concatenate(i_outs, axis=1)
 
     def bpr_loss(
@@ -213,8 +253,13 @@ def init_params(
         d = cfg.embed_dim
         for k in range(cfg.n_layers):
             for j, name in enumerate(("gc", "bi", "mlp")):
+                kwj, kbj = jax.random.split(kw[k, j])
                 params[f"w_{name}_{k}"] = (
-                    jax.random.normal(kw[k, j], (d, d), dtype) * cfg.init_std
+                    jax.random.normal(kwj, (d, d), dtype) * cfg.init_std
                 )
-                params[f"b_{name}_{k}"] = jnp.zeros((d,), dtype)
+                # TF initializes biases with the SAME N(0, 0.01) initializer
+                # (`LightGCN.py:168,186-196`), not zeros
+                params[f"b_{name}_{k}"] = (
+                    jax.random.normal(kbj, (d,), dtype) * cfg.init_std
+                )
     return params

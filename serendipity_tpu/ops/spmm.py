@@ -50,6 +50,8 @@ def lightgcn_propagate(
     i_w: jnp.ndarray,
     n_layers: int,
     edge_keep: Optional[jnp.ndarray] = None,
+    self_u: Optional[jnp.ndarray] = None,
+    self_i: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K-layer LightGCN propagation + mean-pool over layers.
 
@@ -71,6 +73,10 @@ def lightgcn_propagate(
     for _ in range(n_layers):
         u_nxt = spmm_edges(u_dst, u_src, u_w, i_cur, n_users)
         i_nxt = spmm_edges(i_dst, i_src, i_w, u_cur, n_items)
+        if self_u is not None:
+            # diagonal of the normalized operator (adj_type="norm" self loops)
+            u_nxt = u_nxt + self_u[:, None] * u_cur
+            i_nxt = i_nxt + self_i[:, None] * i_cur
         u_cur, i_cur = u_nxt, i_nxt
         u_acc = u_acc + u_cur
         i_acc = i_acc + i_cur

@@ -37,9 +37,10 @@ def build_device_data(
     adj: BipartiteAdjacency | None = None,
     use_ell: bool = True,
     ell_width: int = 16,
+    adj_type: str = "pre",
 ) -> DeviceData:
     if adj is None:
-        adj = build_normalized_adjacency(inter)
+        adj = build_normalized_adjacency(inter, adj_type=adj_type)
     adj_dev = {
         "u_dst": jnp.asarray(adj.u_dst),
         "u_src": jnp.asarray(adj.u_src),
@@ -48,6 +49,9 @@ def build_device_data(
         "i_src": jnp.asarray(adj.i_src),
         "i_w": jnp.asarray(adj.i_w),
     }
+    if adj.self_w_u is not None:
+        adj_dev["self_u"] = jnp.asarray(adj.self_w_u)
+        adj_dev["self_i"] = jnp.asarray(adj.self_w_i)
     valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
     spmm_ops = None
     if use_ell:

@@ -41,6 +41,7 @@ def build_model(cfg: ExperimentConfig, n_users: int, n_items: int) -> EmbeddingM
         embed_dim=cfg.model.embed_dim,
         n_layers=cfg.model.n_layers,
         edge_dropout=cfg.model.edge_dropout,
+        mess_dropout=cfg.model.mess_dropout,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
@@ -55,7 +56,7 @@ def run_training(
 
     if inter is None:
         inter = load_dataset(cfg)
-    data = build_device_data(inter)
+    data = build_device_data(inter, adj_type=cfg.model.adj_type)
     model = build_model(cfg, inter.n_users, inter.n_items)
     trainer = BPRTrainer(cfg, model, data)
     evaluator = Evaluator(model, data, inter, cfg.eval)
