@@ -137,9 +137,12 @@ class BPRTrainer:
         tcfg = self.cfg.train
         k0 = self.cfg.eval.topks[0]
         best_params = state.params
+        from serendipity_tpu.utils.timing import timer
+
         for _ in range(state.epoch, tcfg.epochs):
             t0 = time.perf_counter()
-            state, loss, mf_loss = self.train_epoch(state)
+            with timer("train"):
+                state, loss, mf_loss = self.train_epoch(state)
             dt = time.perf_counter() - t0
             if not math.isfinite(loss):
                 # failure detection (role of the reference NaN abort,
@@ -149,14 +152,16 @@ class BPRTrainer:
                 break
             rec: Dict[str, float] = {"epoch": state.epoch, "loss": loss, "time": dt}
             if evaluator is not None and state.epoch % tcfg.eval_every == 0:
-                metrics = evaluator.evaluate(state.params)
+                with timer("eval"):
+                    metrics = evaluator.evaluate(state.params)
                 rec.update(metrics)
                 cur = metrics[f"recall@{k0}"]
                 log_fn(
                     f"epoch {state.epoch}: loss={loss:.5f} "
                     f"recall@{k0}={cur:.5f} ndcg@{k0}={metrics[f'ndcg@{k0}']:.5f} "
-                    f"({dt:.2f}s/epoch)"
+                    f"({dt:.2f}s/epoch) {timer.dict()}"
                 )
+                timer.zero()
                 if cur > state.best_metric:
                     state.best_metric = cur
                     state.best_epoch = state.epoch

@@ -134,3 +134,24 @@ def test_load_lastfm(tmp_path):
     assert inter.test_items_of(1).tolist() == [0]
     assert trust.tolist() == [[0, 1], [1, 2]]
     assert inter.n_train == 5 and inter.n_test == 3
+
+
+def test_timer_tape():
+    """Named timer tape, the contract of `code/utils.py:154-213`."""
+    import time as _t
+
+    from serendipity_tpu.utils.timing import timer
+
+    timer.zero()
+    with timer("a"):
+        _t.sleep(0.01)
+    with timer("a"):
+        _t.sleep(0.01)
+    with timer("b"):
+        pass
+    assert timer.NAMED_TAPE["a"] >= 0.02
+    assert timer.COUNTS["a"] == 2
+    rep = timer.dict(["a", "b"])
+    assert rep.startswith("|a:") and "|b:" in rep
+    timer.zero(["a"])
+    assert timer.NAMED_TAPE["a"] == 0.0 and timer.COUNTS["b"] == 1
