@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from serendipity_tpu.config import ModelConfig
-from serendipity_tpu.graph.adjacency import BipartiteAdjacency
 from serendipity_tpu.ops.spmm import lightgcn_propagate, spmm_edges
 
 Params = Dict[str, jnp.ndarray]
