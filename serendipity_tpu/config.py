@@ -142,6 +142,9 @@ class ExperimentConfig:
     prone: ProNEConfig = field(default_factory=ProNEConfig)
     rec: RecConfig = field(default_factory=RecConfig)
     out_dir: str = "runs"
+    # mirror scalar metrics to TensorBoard under <out_dir>/<dataset>/tb (the
+    # reference's tensorboardX writers, `lightGCN/.../main.py:47-54`)
+    tensorboard: bool = False
 
 
 def apply_overrides(cfg: Any, overrides: Sequence[str]) -> Any:

@@ -125,6 +125,7 @@ class BPRTrainer:
         state: TrainState,
         evaluator: Optional["Evaluator"] = None,
         log_fn: Callable[[str], None] = print,
+        metrics_fn: Optional[Callable[[Dict[str, float]], None]] = None,
     ) -> TrainState:
         """Train with periodic evaluation + early stopping.
 
@@ -180,6 +181,8 @@ class BPRTrainer:
                         state.params = best_params
                         break
             state.history.append(rec)
+            if metrics_fn is not None:
+                metrics_fn(rec)
         else:
             if evaluator is not None and state.best_epoch >= 0:
                 state.params = best_params

@@ -63,7 +63,7 @@ def run_training(
     state = trainer.init_state(pretrained=pretrained)
 
     out_dir = os.path.join(cfg.out_dir, cfg.data.name)
-    mlog = MetricsLogger(out_dir, echo=False)
+    mlog = MetricsLogger(out_dir, echo=False, tensorboard=cfg.tensorboard)
     mlog.log("config", **{k: str(v) for k, v in asdict(cfg).items()})
 
     def log_both(msg: str) -> None:
@@ -71,7 +71,10 @@ def run_training(
         mlog.log("train", msg=msg)
 
     t0 = time.perf_counter()
-    state = trainer.fit(state, evaluator, log_fn=log_both)
+    state = trainer.fit(
+        state, evaluator, log_fn=log_both,
+        metrics_fn=lambda rec: mlog.log("epoch", **rec),
+    )
     train_time = time.perf_counter() - t0
 
     final = evaluator.evaluate(state.params)
@@ -103,6 +106,7 @@ def run_training(
     with open(os.path.join(out_dir, "result.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")
     log_fn(f"result: {json.dumps(record)}")
+    mlog.close()
     return {
         "record": record,
         "state": state,

@@ -1,9 +1,10 @@
 """Metrics logging and step timing.
 
-Replaces the reference's TensorBoard writers + `timer` tape + colored prints
-(`code/utils.py:154-213`, `lightGCN/.../main.py:47-54`, `LightGCN.py:60-105`) with a
-JSONL metrics log (one record per event, machine-readable), stdout echo, and a
-`jax.profiler` trace hook.
+Replaces the reference's TensorBoard writers + colored prints
+(`lightGCN/.../main.py:47-54`, `LightGCN.py:60-105`, `Procedure.py:52-53,164-170`)
+with a JSONL metrics log (one record per event, machine-readable), stdout echo, an
+optional TensorBoard scalar mirror (same scalars the reference writers emitted), and
+a `jax.profiler` trace hook.  The named timer tape lives in `utils.timing`.
 """
 
 from __future__ import annotations
@@ -12,22 +13,37 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, Iterator, Optional
+from typing import Iterator, Optional
 
 
 class MetricsLogger:
-    def __init__(self, out_dir: Optional[str] = None, echo: bool = True):
+    def __init__(
+        self, out_dir: Optional[str] = None, echo: bool = True, tensorboard: bool = False
+    ):
         self.echo = echo
         self.path = None
+        self._tb = None
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self.path = os.path.join(out_dir, "metrics.jsonl")
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+                except Exception:
+                    self._tb = None  # tensorboard not installed: JSONL still has it all
 
     def log(self, event: str, **fields) -> None:
         rec = {"event": event, "t": time.time(), **fields}
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            step = int(fields.get("epoch", fields.get("step", 0)) or 0)
+            for k, v in fields.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                    self._tb.add_scalar(f"{event}/{k}", float(v), step)
         if self.echo:
             body = " ".join(
                 f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
@@ -35,28 +51,9 @@ class MetricsLogger:
             )
             print(f"[{event}] {body}")
 
-
-class Timer:
-    """Named wall-clock tape (role of `code/utils.py:154-213`)."""
-
-    def __init__(self):
-        self.totals: Dict[str, float] = {}
-        self.counts: Dict[str, int] = {}
-
-    @contextlib.contextmanager
-    def __call__(self, name: str) -> Iterator[None]:
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
-
-    def summary(self) -> str:
-        return " | ".join(
-            f"{k}: {v:.3f}s/{self.counts[k]}" for k, v in self.totals.items()
-        )
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
 
 
 @contextlib.contextmanager
