@@ -126,6 +126,10 @@ class RecConfig:
     pm_k: int = 200                     # pseudo-baseline size (`utils.py:70`)
     dpp_epsilon: float = 1e-10
     elasticity_alpha: float = 1.0
+    # relevance divisor in the div-fusion DPP kernel.  1.0 = intended semantics;
+    # the reference's factor=1e6 (`recommend_combination.py:265`) flattens the
+    # relevance term to a no-op (documented deviation)
+    dpp_rel_factor: float = 1.0
     seeds: Tuple[int, ...] = (777, 7777, 77777, 73, 79)   # `main.py:80`
     strategies: Tuple[str, ...] = (
         "rand", "nov", "pop", "qua", "ela", "acc", "div", "dif",

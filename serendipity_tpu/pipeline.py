@@ -74,7 +74,10 @@ def run_seed(
     fused_names: List[str] = []
     if fusion_specs:
         for names, weights in fusion_specs:
-            name, rec = recommend_fused(cand, scores, names, weights, emb_item, k)
+            name, rec = recommend_fused(
+                cand, scores, names, weights, emb_item, k,
+                rel_factor=cfg.rec.dpp_rel_factor,
+            )
             recs[name] = rec
             fused_names.append(name)
 

@@ -73,8 +73,17 @@ def dpp_select_block(
     div_weight: float = 0.5,
     epsilon: float = 1e-10,
     degenerate_diag: bool = False,
+    rel_factor: float = 1.0,
 ) -> jnp.ndarray:
-    """Greedy DPP selection -> [B, k] positions into the candidate axis."""
+    """Greedy DPP selection -> [B, k] positions into the candidate axis.
+
+    `rel_factor` divides the relevance before exponentiation.  The reference uses
+    `factor=1e6` (`recommend_combination.py:265,274`) on [0,1]-normalized scores,
+    which flattens exp(alpha*rel/1e6) to ~1 and makes the relevance conditioning a
+    no-op — measured: the div-fusion rec equals the pure-div rec on every user at
+    gowalla scale.  Default 1.0 implements the intended L = diag(e^{a r}) S
+    diag(e^{a r}); pass 1e6 (cfg `rec.dpp_rel_factor`) for bit-compat behavior.
+    """
     b, c, _ = cand_emb_unit.shape
     sim = jnp.einsum(
         "bcd,bed->bce", cand_emb_unit, cand_emb_unit,
@@ -83,7 +92,7 @@ def dpp_select_block(
     sim = (1.0 + sim) / 2.0                                   # `recommend.py:268`
     if rel_scores is not None:
         alpha = (1.0 - div_weight) / (2.0 * div_weight)
-        q = jnp.exp(alpha * rel_scores / 1e6)                 # `recommend_combination.py:266-274`
+        q = jnp.exp(alpha * rel_scores / rel_factor)          # `recommend_combination.py:266-274`
         if degenerate_diag:
             eye = jnp.eye(c)[None]
             sim = eye * (q[:, :, None] * q[:, None, :]) * sim * eye
@@ -102,6 +111,7 @@ def dpp_rerank(
     div_weight: float = 0.5,
     user_block: int = 64,
     degenerate_diag: bool = False,
+    rel_factor: float = 1.0,
 ) -> np.ndarray:
     """Host driver: [U, k] selected item ids."""
     ei = np.asarray(emb_item, np.float32)
@@ -117,7 +127,7 @@ def dpp_rerank(
         pos = np.asarray(
             dpp_select_block(
                 cand_emb, rel, k, div_weight=div_weight,
-                degenerate_diag=degenerate_diag,
+                degenerate_diag=degenerate_diag, rel_factor=rel_factor,
             )
         )
         out[s:e] = np.take_along_axis(candidates[s:e], pos, axis=1)

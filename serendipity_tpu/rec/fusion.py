@@ -41,6 +41,7 @@ def recommend_fused(
     weights: Sequence[float],
     emb_item: np.ndarray,
     k: int = 20,
+    rel_factor: float = 1.0,
 ) -> Tuple[str, np.ndarray]:
     """Returns (combo_name, rec matrix [U, k]).
 
@@ -52,7 +53,8 @@ def recommend_fused(
     if "div" in factor_names:
         div_weight = float(weights[list(factor_names).index("div")])
         rec = dpp_rerank(
-            candidates, emb_item, k, rel_scores=fused, div_weight=div_weight
+            candidates, emb_item, k, rel_scores=fused, div_weight=div_weight,
+            rel_factor=rel_factor,
         )
     else:
         rec = topk_from_scores(fused, candidates, k)

@@ -61,6 +61,14 @@ class SerendipityEvaluator:
         )
         # global I.I^T min/max (`utils.py:487-529`)
         self.ii_min, self.ii_max = item_item_minmax(self.emb_item)
+        # ser1 (acc vs test, dif vs train) is defined only for users with nonempty
+        # test and train sets.  The reference's datasets guarantee both
+        # (`generateSerData` temporal split); general graphs (e.g. synthetic) may
+        # not, so those users are excluded from the per-user means instead of
+        # poisoning them with -inf max-over-empty similarities.
+        self.has_test = np.diff(inter.test_indptr) > 0
+        self.has_train = np.diff(inter.train_indptr) > 0
+        self.ser1_valid = self.has_test & self.has_train
 
     # ---- ser1 ---------------------------------------------------------------
 
@@ -154,6 +162,8 @@ class SerendipityEvaluator:
             vals[s:e] = np.where(
                 cnt > 0, summed / np.maximum(cnt, 1), self.ii_min
             )
+        # users with no train history have no max-sim; exclude (see ser1_valid note)
+        vals = vals[self.has_train]
         return float(
             (vals.mean() - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12)
         )
@@ -273,9 +283,11 @@ class SerendipityEvaluator:
                 raise ValueError("need candidates or pm for ser2")
             pm = self.create_pm(candidates)
 
+        valid = self.ser1_valid
         accs, difs = {}, {}
         for m, rec in recs.items():
-            accs[m], difs[m] = self.acc_dif_arrays(rec)
+            a, d = self.acc_dif_arrays(rec)
+            accs[m], difs[m] = a[valid], d[valid]
         acc_max = max(
             float(np.max(exclude_outliers(a.reshape(-1)))) for a in accs.values()
         )

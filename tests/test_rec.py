@@ -376,3 +376,57 @@ def test_disentanglement_ideal_variants(setup):
     v_same = ev.disentanglement_pair_ideal(rec_a, rec_a, metric="cosDis_diff")
     v_diff = ev.disentanglement_pair_ideal(rec_a, rec_b, metric="cosDis_diff")
     assert v_same <= v_diff + 1e-9
+
+
+def test_evaluate_methods_with_empty_test_users():
+    """Users with no test (or train) rows must not poison the means with -inf
+    (exposed at synthetic-graph scale; the reference's datasets never contain such
+    users, so they are excluded rather than given a defined value)."""
+    from serendipity_tpu.data.datasets import interactions_from_arrays
+
+    rng = np.random.default_rng(11)
+    n_u, n_i = 20, 30
+    tr_u = np.repeat(np.arange(n_u), 3)
+    tr_i = rng.integers(0, n_i, len(tr_u))
+    # only half the users get test rows
+    te_u = np.arange(0, n_u, 2)
+    te_i = rng.integers(0, n_i, len(te_u))
+    inter = interactions_from_arrays(tr_u, tr_i, te_u, te_i, n_users=n_u, n_items=n_i)
+    ei = rng.standard_normal((n_i, 8)).astype(np.float32)
+
+    ev = SerendipityEvaluator(inter, ei, user_block=8)
+    recs = {
+        "a": rng.integers(0, n_i, (n_u, 5)).astype(np.int32),
+        "b": rng.integers(0, n_i, (n_u, 5)).astype(np.int32),
+    }
+    pm = rng.integers(0, n_i, (n_u, 10)).astype(np.int32)
+    res = ev.evaluate_methods(recs, pm=pm)
+    for m, row in res.items():
+        for k, v in row.items():
+            assert np.isfinite(v), (m, k, v)
+    # valid-user acc agrees with a brute-force mean over test-having users only
+    assert ev.ser1_valid.sum() == n_u // 2
+
+
+def test_div_fusion_relevance_conditioning_effective():
+    """With rel_factor=1.0 the fused-DPP selection must depend on relevance; with the
+    reference's factor=1e6 it must reproduce the pure-DPP order (the reference's
+    measured no-op behavior, `recommend_combination.py:265,274`)."""
+    rng = np.random.default_rng(5)
+    n_i, c, k = 60, 24, 6
+    ei = rng.standard_normal((n_i, 8)).astype(np.float32)
+    cand = np.stack([rng.permutation(n_i)[:c] for _ in range(8)]).astype(np.int32)
+    rel = rng.random((8, c)).astype(np.float32) * 5.0
+
+    pure = dpp_rerank(cand, ei, k)
+    cond = dpp_rerank(cand, ei, k, rel_scores=rel, div_weight=0.5, rel_factor=1.0)
+    assert not np.array_equal(cond, pure)           # intended behavior is effective
+    # reference behavior (rel_factor=1e6): the relevance term perturbs the kernel
+    # by only ~alpha*rel/1e6 in log space — a no-op up to near-ties (measured
+    # identical recs on every user at gowalla scale)
+    q = np.exp(0.5 * rel / 1e6)
+    assert np.abs(q - 1.0).max() < 1e-5
+    # strongly relevance-dominated (but exp-safe): top-1 = max-relevance candidate
+    heavy = dpp_rerank(cand, ei, k, rel_scores=rel * 10, div_weight=0.5, rel_factor=1.0)
+    top1_pos = np.array([np.where(cand[r] == heavy[r, 0])[0][0] for r in range(8)])
+    np.testing.assert_array_equal(top1_pos, rel.argmax(1))
