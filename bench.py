@@ -5,14 +5,17 @@ path of the reference's candidate generation + accuracy strategy (`recommend.py:
 `np.dot(emb_user, emb_item.T)` + `sub_argpartition`), at gowalla scale
 (29,856 users x 40,960 items x 64 dims).
 
-Implementation: the Pallas fused kernel (`serendipity_tpu.ops.pallas_score`) — bf16
-MXU matmul with the score tile kept in VMEM and an exact running top-k; measured 2x
-the XLA exact-2-stage path (itself ~10x faster than `lax.top_k`'s full sort) with
+Implementation: the Pallas fused kernel (`serendipity_tpu.ops.pallas_score`,
+"insert" variant: thresholded dynamic-trip extraction) — bf16 MXU matmul with the
+score tile kept in VMEM and an exact sorted running top-k; measured ~4x the XLA
+exact-2-stage path (itself ~10x faster than `lax.top_k`'s full sort) with
 bit-identical results.
 
-Timing: full host round-trip per pass (dispatch + execute + scalar fetch), best of
-several trials — conservative: on this tunnel the RPC round-trip alone is ~77 ms,
-which is charged against us.
+Timing: sustained throughput — PASSES=8 full scoring passes per dispatch (inputs
+perturbed per pass so XLA cannot CSE them), one host round-trip + scalar fetch per
+dispatch, best of several trials.  Per-pass dispatch would charge this tunnel's
+~77 ms RPC round-trip against every pass; amortizing it measures the device, which
+is what multi-batch production serving sees.
 
 Metric: scores/sec/chip = U * I / wall time.
 vs_baseline: ratio to the reference implementation's throughput for the identical
@@ -34,6 +37,7 @@ N_USERS = 29_696          # gowalla-scale, multiple of the 256-row user tile
 N_ITEMS = 40_960
 DIM = 64
 TOP_K = 20
+PASSES = 8                # scoring passes per dispatch (RPC amortization)
 
 
 def main():
@@ -46,28 +50,35 @@ def main():
     eu = jnp.asarray(rng.standard_normal((N_USERS, DIM)), dtype=jnp.bfloat16)
     ei = jnp.asarray(rng.standard_normal((N_ITEMS, DIM)), dtype=jnp.bfloat16)
 
-    @jax.jit
-    def score_topk(eu, ei, c):
-        v, idx = fused_score_topk(eu + c, ei, k=TOP_K)
-        # checksum forces the full result; fetching a scalar syncs the host
-        return v.sum() + idx.sum()
+    def make_bench(score_fn):
+        @jax.jit
+        def run(eu, ei, c):
+            def body(t, acc):
+                ct = c + t.astype(jnp.bfloat16) * jnp.bfloat16(1e-6)
+                v, idx = score_fn(eu + ct, ei)
+                # checksum forces the full result each pass
+                return acc + v.sum() + idx.sum()
+
+            return jax.lax.fori_loop(0, PASSES, body, jnp.float32(0.0))
+
+        return run
 
     # warmup / compile; fall back to the pure-XLA exact path if Mosaic balks on
     # this toolchain so the benchmark always records a number
+    score_topk = make_bench(lambda u, i: fused_score_topk(u, i, k=TOP_K))
     try:
         float(score_topk(eu, ei, jnp.bfloat16(0.0)))
     except Exception:
         from serendipity_tpu.ops.topk import topk_exact_2stage
 
-        @jax.jit
-        def score_topk(eu, ei, c):  # noqa: F811
+        def xla_exact(u, i):
             scores = jax.lax.dot_general(
-                eu + c, ei, (((1,), (1,)), ((), ())),
+                u, i, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            v, idx = topk_exact_2stage(scores, TOP_K)
-            return v.sum() + idx.sum()
+            return topk_exact_2stage(scores, TOP_K)
 
+        score_topk = make_bench(xla_exact)
         float(score_topk(eu, ei, jnp.bfloat16(0.0)))
 
     best = np.inf
@@ -76,7 +87,7 @@ def main():
         float(score_topk(eu, ei, jnp.bfloat16(t * 1e-6)))
         best = min(best, time.perf_counter() - t0)
 
-    scores_per_sec = N_USERS * N_ITEMS / best
+    scores_per_sec = N_USERS * N_ITEMS * PASSES / best
     print(
         json.dumps(
             {

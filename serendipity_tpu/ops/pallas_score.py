@@ -7,9 +7,15 @@ Motivation (measured on v5e at gowalla scale, 29856 x 40960 x 64):
     chunked exact 2-stage ~100+ ms.
 
 This kernel streams item tiles through VMEM and maintains a running exact top-k per
-user row with K passes of (max, argmax, mask) — position-indexed masking, so ties
-are handled exactly.  The score tile never leaves VMEM: HBM traffic collapses to
-reading the two embedding tables plus writing [U, K] results.
+user row — position-indexed masking, so ties are handled exactly.  The score tile
+never leaves VMEM: HBM traffic collapses to reading the two embedding tables plus
+writing [U, K] results.  Two variants, bit-identical outputs:
+
+  * "insert" (default): sorted running top-k whose k-th column is a per-row
+    admission threshold; a dynamic `while_loop` per item tile extracts maxima only
+    while some row still beats its threshold.  Measured 52 ms device time at
+    gowalla scale on v5e (23.5 Gscores/s sustained) — 2x "extract".
+  * "extract": fixed k passes of (max, argmax, mask) per item tile.
 
 Layout: grid over user tiles; the item table is a single VMEM-resident block
 (index_map pins it, so Mosaic keeps it loaded across grid steps).  bf16 inputs, f32
@@ -27,6 +33,69 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel_insert(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int):
+    """Insertion variant: sorted running top-k + dynamic-trip extraction.
+
+    The fixed-k extraction of `_fused_kernel` pays k full-width passes per item
+    tile even when the tile contributes nothing.  Here the running top-k is kept
+    SORTED (descending), so its k-th column is a per-row admission threshold; a
+    `while_loop` extracts tile maxima only while some row still holds a score
+    strictly above its own threshold.  After the first tile raises the
+    thresholds, expected trips/tile ≈ max over rows of Poisson(k·ti/N) ≪ k.
+    Strict `>` preserves first-occurrence tie order (an equal later score never
+    displaces an earlier one), matching `_fused_kernel` exactly.
+    """
+    bu = eu_ref.shape[0]
+    n_items = ei_ref.shape[0]
+    n_tiles = n_items // item_tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bu, item_tile), 1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
+    big = jnp.int32(item_tile + 1)
+
+    def tile_body(t, carry):
+        v_run, i_run = carry                                       # [bu, k] sorted desc
+        tile = ei_ref[pl.ds(t * item_tile, item_tile), :]          # [ti, d]
+        s = jax.lax.dot_general(
+            eu_ref[:], tile,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [bu, ti]
+        ids = cols + t * item_tile
+
+        def cond(st):
+            _, v_run, _, m = st
+            return jnp.any(m > v_run[:, k - 1])
+
+        def body(st):
+            wv, v_run, i_run, m = st
+            # first-occurrence argmax via masked reductions (no argmax in Mosaic)
+            is_m = wv >= m[:, None]
+            am = jnp.min(jnp.where(is_m, cols, big), axis=1)        # [bu]
+            sel = cols == am[:, None]
+            gid = jnp.max(jnp.where(sel, ids, -1), axis=1)          # [bu]
+            wv = jnp.where(sel, -jnp.inf, wv)
+            # sorted insert of (m, gid); rows already satisfied keep their lists
+            do = (m > v_run[:, k - 1])[:, None]                     # [bu, 1]
+            pos = jnp.sum((v_run >= m[:, None]).astype(jnp.int32), axis=1)[:, None]
+            v_sh = jnp.concatenate([v_run[:, :1], v_run[:, :-1]], axis=1)
+            i_sh = jnp.concatenate([i_run[:, :1], i_run[:, :-1]], axis=1)
+            v_new = jnp.where(slots == pos, m[:, None], jnp.where(slots > pos, v_sh, v_run))
+            i_new = jnp.where(slots == pos, gid[:, None], jnp.where(slots > pos, i_sh, i_run))
+            v_run = jnp.where(do, v_new, v_run)
+            i_run = jnp.where(do, i_new, i_run)
+            return wv, v_run, i_run, jnp.max(wv, axis=1)
+
+        st = (s, v_run, i_run, jnp.max(s, axis=1))
+        _, v_run, i_run, _ = jax.lax.while_loop(cond, body, st)
+        return v_run, i_run
+
+    v0 = jnp.full((bu, k), -jnp.inf, jnp.float32)
+    i0 = jnp.zeros((bu, k), jnp.int32)
+    v_fin, i_fin = jax.lax.fori_loop(0, n_tiles, tile_body, (v0, i0))
+    topv_ref[:] = v_fin
+    topi_ref[:] = i_fin
 
 
 def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int):
@@ -80,7 +149,7 @@ def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "user_tile", "item_tile", "interpret")
+    jax.jit, static_argnames=("k", "user_tile", "item_tile", "interpret", "variant")
 )
 def fused_score_topk(
     eu: jnp.ndarray,          # [U, D] bf16/f32 user vectors (U % user_tile == 0)
@@ -89,6 +158,7 @@ def fused_score_topk(
     user_tile: int = 256,
     item_tile: int = 2048,   # swept on v5e: 2048 > 1024 ~ 512; 512-wide user tiles regress
     interpret: bool = False,
+    variant: str = "insert",   # "insert" (thresholded while_loop, 2x) | "extract" (fixed k passes)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
     u, d = eu.shape
@@ -97,7 +167,8 @@ def fused_score_topk(
     item_tile = min(item_tile, n)
     assert u % user_tile == 0 and n % item_tile == 0
     grid = (u // user_tile,)
-    kernel = functools.partial(_fused_kernel, k=k, item_tile=item_tile)
+    body = _fused_kernel_insert if variant == "insert" else _fused_kernel
+    kernel = functools.partial(body, k=k, item_tile=item_tile)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from serendipity_tpu.ops.topk import topk_exact_2stage
+
 
 def sharded_score_topk(
     mesh: Mesh,
@@ -35,7 +37,9 @@ def sharded_score_topk(
         )  # [b_local, n_local]
         if valid is not None:
             scores = jnp.where(valid[None, :], scores, mask_value)
-        v, idx = jax.lax.top_k(scores, k)
+        # exact chunked top-k: same values/tie-order as lax.top_k, ~10x cheaper
+        # than the full per-row sort at catalog widths (ops/topk.py)
+        v, idx = topk_exact_2stage(scores, k)
         offset = jax.lax.axis_index("model") * it.shape[0]
         idx = idx + offset
         v_all = jax.lax.all_gather(v, "model", axis=1, tiled=True)    # [b, s*k]

@@ -8,12 +8,15 @@ import pytest
 from serendipity_tpu.ops.pallas_score import fused_score_topk
 
 
+@pytest.mark.parametrize("variant", ["extract", "insert"])
 @pytest.mark.parametrize("u,n,k", [(256, 1024, 20), (512, 2048, 10)])
-def test_fused_score_topk_exact(u, n, k):
+def test_fused_score_topk_exact(u, n, k, variant):
     rng = np.random.default_rng(0)
     eu = rng.standard_normal((u, 64)).astype(np.float32)
     ei = rng.standard_normal((n, 64)).astype(np.float32)
-    v, i = fused_score_topk(jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True)
+    v, i = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True, variant=variant
+    )
     s = eu @ ei.T
     ref = np.sort(s, axis=1)[:, ::-1][:, :k]
     np.testing.assert_allclose(np.asarray(v), ref, rtol=1e-4, atol=1e-4)
@@ -23,12 +26,30 @@ def test_fused_score_topk_exact(u, n, k):
     assert (np.diff(np.asarray(v), axis=1) <= 1e-6).all()
 
 
-def test_fused_score_topk_ties():
+@pytest.mark.parametrize("variant", ["extract", "insert"])
+def test_fused_score_topk_ties(variant):
     """Position-indexed masking must return distinct indices even with ties."""
     u, n, k = 256, 512, 8
     eu = np.ones((u, 64), np.float32)
     ei = np.ones((n, 64), np.float32)          # all scores identical
-    v, i = fused_score_topk(jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True)
+    v, i = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=k, interpret=True, variant=variant
+    )
     i = np.asarray(i)
     for r in range(0, u, 37):
         assert len(set(i[r].tolist())) == k
+
+
+def test_variants_identical():
+    """Insert variant must match extract bit-for-bit, index order included."""
+    rng = np.random.default_rng(3)
+    eu = rng.standard_normal((256, 64)).astype(np.float32)
+    ei = rng.standard_normal((4096, 64)).astype(np.float32)
+    v1, i1 = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
+    )
+    v2, i2 = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="insert"
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
