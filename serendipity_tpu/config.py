@@ -75,6 +75,14 @@ class TrainConfig:
     # compile time grows with scan length on remote-compile TPU toolchains; the
     # ~0.1 s dispatch per chunk is noise next to epoch compute.
     scan_chunk: int = 32
+    # Orbax-checkpoint the full train state (params, Adam moments, PRNG key,
+    # progress counters) under <out_dir>/<dataset>/ckpt on every improving eval —
+    # the reference's best-snapshot scheme (`lightGCN/.../main.py:93`,
+    # `LightGCN.py:471-478`)
+    checkpoint: bool = False
+    # restore the latest checkpoint before training (reference `--load 1` /
+    # pretrain restore, `code/main.py:25-42`, `LightGCN.py:488-517`)
+    resume: bool = False
 
 
 @dataclass

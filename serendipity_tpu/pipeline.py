@@ -23,6 +23,7 @@ from serendipity_tpu.rec.dpp import dpp_rerank
 from serendipity_tpu.rec.fusion import recommend_fused
 from serendipity_tpu.rec.serendipity import SerendipityEvaluator
 from serendipity_tpu.rec.strategies import StrategyScorer, topk_from_scores
+from serendipity_tpu.utils.timing import timer
 
 
 METHOD_ORDER = ("rand", "nov", "pop", "qua", "ela", "acc", "div", "dif")
@@ -57,9 +58,11 @@ def run_seed(
 
     cand = cached("candidate.npy")
     if cand is None or cand.shape != (inter.n_users, rcfg.n_candidates):
-        cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
+        with timer("candidates"):
+            cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
     scorer = StrategyScorer(inter, emb_user, emb_item, cand)
-    scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
+    with timer("strategy_scores"):
+        scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
 
     recs: Dict[str, np.ndarray] = {}
     for m in rcfg.strategies:
@@ -67,29 +70,34 @@ def run_seed(
         if hit is not None and hit.shape == (inter.n_users, k):
             recs[m] = hit.astype(np.int32)
         elif m == "div":
-            recs[m] = dpp_rerank(cand, emb_item, k)
+            with timer("dpp"):
+                recs[m] = dpp_rerank(cand, emb_item, k)
         else:
-            recs[m] = topk_from_scores(scores[m], cand, k)
+            with timer("topk_strategies"):
+                recs[m] = topk_from_scores(scores[m], cand, k)
 
     fused_names: List[str] = []
     if fusion_specs:
         for names, weights in fusion_specs:
-            name, rec = recommend_fused(
-                cand, scores, names, weights, emb_item, k,
-                rel_factor=cfg.rec.dpp_rel_factor,
-            )
+            with timer("fusion"):
+                name, rec = recommend_fused(
+                    cand, scores, names, weights, emb_item, k,
+                    rel_factor=cfg.rec.dpp_rel_factor,
+                )
             recs[name] = rec
             fused_names.append(name)
 
     if evaluator is None:
         evaluator = SerendipityEvaluator(inter, emb_item)
-    results = evaluator.evaluate_methods(recs, candidates=cand)
+    with timer("evaluate"):
+        results = evaluator.evaluate_methods(recs, candidates=cand)
     methods = [m for m in rcfg.strategies] + fused_names
     mat = evaluator.result_matrix(results, methods)
 
     disent = None
     if compute_disentanglement:
-        disent = evaluator.disentanglement_matrix(recs, methods)
+        with timer("disentanglement"):
+            disent = evaluator.disentanglement_matrix(recs, methods)
 
     if out_dir:
         os.makedirs(seed_dir, exist_ok=True)
@@ -131,6 +139,7 @@ def run_study(
             compute_disentanglement=compute_disentanglement,
         )
         mats.append(res["matrix"])
+        log_fn(f"seed {seed} stage walls {timer.dict()}")
         methods = res["methods"]
         if res["disentanglement"] is not None:
             disents.append(res["disentanglement"])

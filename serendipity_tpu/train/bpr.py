@@ -126,6 +126,7 @@ class BPRTrainer:
         evaluator: Optional["Evaluator"] = None,
         log_fn: Callable[[str], None] = print,
         metrics_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+        checkpoint_dir: Optional[str] = None,
     ) -> TrainState:
         """Train with periodic evaluation + early stopping.
 
@@ -137,7 +138,9 @@ class BPRTrainer:
 
         tcfg = self.cfg.train
         k0 = self.cfg.eval.topks[0]
-        best_params = state.params
+        # real copy: the epoch fn donates state.params, and this fallback must
+        # survive runs where no eval improves (e.g. resume from the best epoch)
+        best_params = jax.tree.map(jnp.copy, state.params)
         from serendipity_tpu.utils.timing import timer
 
         for _ in range(state.epoch, tcfg.epochs):
@@ -170,6 +173,11 @@ class BPRTrainer:
                     # real device copy — the epoch fn donates its inputs, so holding
                     # the original buffers here would leave dangling references
                     best_params = jax.tree.map(jnp.copy, state.params)
+                    if checkpoint_dir:
+                        from serendipity_tpu.train.checkpoint import save_checkpoint
+
+                        with timer("checkpoint"):
+                            save_checkpoint(checkpoint_dir, state)
                 else:
                     state.stopping_step += 1
                     if state.stopping_step >= tcfg.patience:

@@ -70,10 +70,22 @@ def run_training(
         log_fn(msg)
         mlog.log("train", msg=msg)
 
+    ckpt_dir = os.path.join(out_dir, "ckpt") if cfg.train.checkpoint else None
+    if cfg.train.resume:
+        from serendipity_tpu.train.checkpoint import restore_checkpoint
+
+        resume_dir = ckpt_dir or os.path.join(out_dir, "ckpt")
+        try:
+            state = restore_checkpoint(resume_dir, state)
+            log_both(f"resumed from {resume_dir} at epoch {state.epoch}")
+        except FileNotFoundError:
+            log_both(f"no checkpoint under {resume_dir}; training from scratch")
+
     t0 = time.perf_counter()
     state = trainer.fit(
         state, evaluator, log_fn=log_both,
         metrics_fn=lambda rec: mlog.log("epoch", **rec),
+        checkpoint_dir=ckpt_dir,
     )
     train_time = time.perf_counter() - t0
 

@@ -100,6 +100,30 @@ def test_checkpoint_roundtrip(small_cfg, tiny_inter, tmp_path):
     assert np.isfinite(loss) and state2.epoch == 2
 
 
+def test_runner_checkpoint_resume(small_cfg, tiny_inter, tmp_path):
+    """`train.checkpoint=true` saves on improving evals; `train.resume=true`
+    restores and continues from the recorded epoch (reference `--load 1`)."""
+    from serendipity_tpu.config import apply_overrides
+    from serendipity_tpu.train.runner import run_training
+
+    cfg = apply_overrides(
+        small_cfg,
+        [f"out_dir={tmp_path}", "data.name=tiny", "train.checkpoint=true",
+         "train.epochs=4", "train.eval_every=1", "train.patience=100"],
+    )
+    out1 = run_training(cfg, inter=tiny_inter, log_fn=lambda s: None)
+    assert (tmp_path / "tiny" / "ckpt").is_dir()
+
+    logs = []
+    cfg2 = apply_overrides(cfg, ["train.resume=true", "train.epochs=6"])
+    out2 = run_training(cfg2, inter=tiny_inter, log_fn=logs.append)
+    assert any("resumed from" in ln for ln in logs)
+    # resumed run continues past the first run's final epoch, never restarts at 0
+    epochs = [h["epoch"] for h in out2["history"]]
+    assert epochs and min(epochs) > 1
+    assert out2["state"].best_metric >= out1["state"].best_metric - 1e-9
+
+
 def test_multi_cutoff_eval(small_cfg, tiny_inter):
     """Cumulative metric vectors serve several cutoffs from one pass."""
     from serendipity_tpu.config import apply_overrides
