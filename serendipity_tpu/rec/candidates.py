@@ -67,22 +67,35 @@ def global_score_minmax(
     return mn, mx
 
 
-@partial(jax.jit, static_argnames=("k_c", "num_fold", "n_items"))
+@partial(jax.jit, static_argnames=("k_c", "num_fold", "n_items", "h_max"))
 def _sample_block(
     key: jax.Array,
     user_emb_block: jnp.ndarray,     # [B, D]
     item_emb: jnp.ndarray,           # [N, D]
-    train_mask: jnp.ndarray,         # [B, N] bool: True = user's train item (excluded)
+    rows: jnp.ndarray,               # [B] int32 user ids (train mask built on device)
+    tr_ptr: jnp.ndarray,             # [U+1] int32 train CSR
+    tr_idx: jnp.ndarray,             # [nnz] int32
     n_keep: jnp.ndarray,             # [B] int32: K_c - n_test(u), slots to sample
     min_dis: jnp.ndarray,            # scalars (global, max already includes +eps)
     max_dis: jnp.ndarray,
     k_c: int,
     num_fold: int,
     n_items: int,
+    h_max: int,
 ) -> jnp.ndarray:
     """Stratified candidate sampling for one user block -> [B, k_c] (tail unfilled
     slots hold extra priority-ordered items; test items overwrite the tail later)."""
     b = user_emb_block.shape[0]
+    # dense per-user train mask from CSR, on device (the padded-row scatter lands
+    # pad ids in an extra column that is sliced away)
+    from serendipity_tpu.rec.strategies import padded_rows_device
+
+    hist = padded_rows_device(tr_ptr, tr_idx, rows, h_max, n_items)
+    train_mask = (
+        jnp.zeros((b, n_items + 1), jnp.bool_)
+        .at[jnp.arange(b)[:, None], hist]
+        .set(True)[:, :n_items]
+    )
     scores = (user_emb_block @ item_emb.T).astype(jnp.float16).astype(jnp.float32)
     inter = (max_dis - min_dis) / num_fold
     labels = jnp.clip(
@@ -139,7 +152,7 @@ def create_candidates(
     emb_item: np.ndarray,
     cfg: RecConfig,
     seed: int = 0,
-    user_block: int = 256,
+    user_block: int = 512,
 ) -> np.ndarray:
     """Full candidate matrix [n_users, K_c] with test items in the tail slots."""
     k_c = cfg.n_candidates
@@ -154,15 +167,16 @@ def create_candidates(
         raise ValueError("a user has more test items than K_c")
     n_keep = (k_c - test_deg).astype(np.int32)
 
+    tr_ptr = jnp.asarray(inter.train_indptr, jnp.int32)
+    tr_idx = jnp.asarray(inter.train_indices, jnp.int32)
+    h_max = max(1, int(np.diff(inter.train_indptr).max()))
+
     out = np.zeros((n_users, k_c), dtype=np.int32)
     key = jax.random.PRNGKey(seed)
     for s in range(0, n_users, user_block):
         e = min(s + user_block, n_users)
         b = e - s
-        # dense train mask for the block (bool [b, N])
-        mask = np.zeros((user_block, n_items), dtype=bool)
-        for r, u in enumerate(range(s, e)):
-            mask[r, inter.train_items_of(u)] = True
+        rows = np.minimum(np.arange(s, s + user_block, dtype=np.int32), n_users - 1)
         ue = np.zeros((user_block, eu.shape[1]), np.float32)
         ue[:b] = emb_user[s:e]
         nk = np.zeros((user_block,), np.int32)
@@ -170,8 +184,9 @@ def create_candidates(
         key, sub = jax.random.split(key)
         cand = np.asarray(
             _sample_block(
-                sub, jnp.asarray(ue), ei, jnp.asarray(mask), jnp.asarray(nk),
-                jnp.float32(mn), jnp.float32(mx), k_c, cfg.n_score_bins, n_items,
+                sub, jnp.asarray(ue), ei, jnp.asarray(rows), tr_ptr, tr_idx,
+                jnp.asarray(nk), jnp.float32(mn), jnp.float32(mx),
+                k_c, cfg.n_score_bins, n_items, h_max,
             )
         )[:b]
         out[s:e] = cand

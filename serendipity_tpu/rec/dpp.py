@@ -109,7 +109,9 @@ def dpp_rerank(
     k: int,
     rel_scores: Optional[np.ndarray] = None,
     div_weight: float = 0.5,
-    user_block: int = 64,
+    # 256 users x C=1000 kernels = ~1 GB of [B, C, C] similarity on device; larger
+    # blocks save little (dispatch overhead amortized) and risk HBM pressure
+    user_block: int = 256,
     degenerate_diag: bool = False,
     rel_factor: float = 1.0,
 ) -> np.ndarray:

@@ -19,9 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from serendipity_tpu.data.datasets import Interactions
 from serendipity_tpu.ops.search import contains_in_rows
-from serendipity_tpu.rec.strategies import item_item_minmax, max_sim_to_history, padded_rows
+from serendipity_tpu.rec.strategies import (
+    item_item_minmax,
+    loop_user_blocks,
+    max_sim_chunked,
+    padded_rows_device,
+)
 
 
 def exclude_outliers(data: np.ndarray) -> np.ndarray:
@@ -44,12 +51,96 @@ def _membership_sorted_rows(queries: jnp.ndarray, sorted_rows: jnp.ndarray) -> j
     return contains_in_rows(flat, lo, hi, queries.reshape(-1)).reshape(b, k)
 
 
+@partial(jax.jit, static_argnames=("n_items", "h_te", "h_tr", "block"))
+def _acc_dif_device(
+    mat_rec: jnp.ndarray,       # [U, K] int32
+    ei_pad: jnp.ndarray,        # [N+1, D]
+    te_ptr: jnp.ndarray, te_idx: jnp.ndarray,
+    tr_ptr: jnp.ndarray, tr_idx: jnp.ndarray,
+    n_items: int, h_te: int, h_tr: int, block: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One dispatch for all users: (max-sim of rec items to TEST items,
+    max-sim to TRAIN items), each [U_pad, K]."""
+
+    def blk(rows):
+        rec_emb = ei_pad[mat_rec[rows]]
+        te = padded_rows_device(te_ptr, te_idx, rows, h_te, n_items)
+        tr = padded_rows_device(tr_ptr, tr_idx, rows, h_tr, n_items)
+        return (
+            max_sim_chunked(rec_emb, te, ei_pad, n_items),
+            max_sim_chunked(rec_emb, tr, ei_pad, n_items),
+        )
+
+    return loop_user_blocks(blk, mat_rec.shape[0], block=block)
+
+
+@partial(jax.jit, static_argnames=("n_items", "h_tr", "block"))
+def _ser2_device(
+    mat_rec: jnp.ndarray,       # [U, K] int32
+    pm_sorted: jnp.ndarray,     # [U, M] int32, rows sorted asc
+    ei_pad: jnp.ndarray,
+    tr_ptr: jnp.ndarray, tr_idx: jnp.ndarray,
+    ii_min: jnp.ndarray,        # scalar f32
+    n_items: int, h_tr: int, block: int,
+) -> jnp.ndarray:
+    """One dispatch for all users: per-user mean train-max-sim over rec items NOT
+    in the pm baseline, ii_min when all slots are in pm -> [U_pad]."""
+
+    def blk(rows):
+        rec = mat_rec[rows]
+        keep = ~_membership_sorted_rows(rec, pm_sorted[rows])
+        rec_emb = ei_pad[rec]
+        tr = padded_rows_device(tr_ptr, tr_idx, rows, h_tr, n_items)
+        ms = max_sim_chunked(rec_emb, tr, ei_pad, n_items)
+        cnt = keep.sum(axis=1)
+        summed = (ms * keep).sum(axis=1)
+        return (jnp.where(cnt > 0, summed / jnp.maximum(cnt, 1), ii_min),)
+
+    return loop_user_blocks(blk, mat_rec.shape[0], block=block)[0]
+
+
+@jax.jit
+def _mean_pairwise_dots(rec_emb: jnp.ndarray) -> jnp.ndarray:
+    g = jnp.einsum(
+        "ukd,ujd->ukj", rec_emb, rec_emb, preferred_element_type=jnp.float32
+    )
+    return jnp.mean(g, axis=(1, 2))
+
+
+@jax.jit
+def _chamfer_pair(
+    ra: jnp.ndarray, rb: jnp.ndarray, en_dev: jnp.ndarray,
+    cos_min: jnp.ndarray, cos_max: jnp.ndarray, eps: jnp.ndarray,
+) -> jnp.ndarray:
+    cos = jnp.einsum(
+        "ukd,ujd->ukj", en_dev[ra], en_dev[rb], preferred_element_type=jnp.float32
+    )
+    dist = (1.0 - cos) / 2.0
+    dist = jnp.where(jnp.abs(dist) <= eps, 0.0, dist)
+    dist = (dist - cos_min) / jnp.maximum(cos_max - cos_min, 1e-12)
+    ab = jnp.mean(jnp.min(dist, axis=2), axis=1)
+    ba = jnp.mean(jnp.min(dist, axis=1), axis=1)
+    return jnp.stack([ab, ba], axis=1)
+
+
+@jax.jit
+def _mean_dist_pair(
+    ra: jnp.ndarray, rb: jnp.ndarray, en_dev: jnp.ndarray,
+    f_mn: jnp.ndarray, f_mx: jnp.ndarray,
+) -> jnp.ndarray:
+    cos = jnp.einsum(
+        "ukd,ujd->ukj", en_dev[ra], en_dev[rb], preferred_element_type=jnp.float32
+    )
+    d = ((1.0 - cos) / 2.0 - f_mn) / jnp.maximum(f_mx - f_mn, 1e-12)
+    return jnp.mean(d, axis=(1, 2))
+
+
 class SerendipityEvaluator:
     def __init__(
         self,
         inter: Interactions,
         emb_item: np.ndarray,
-        user_block: int = 256,
+        user_block: int = 8192,
     ):
         self.inter = inter
         self.emb_item = np.asarray(emb_item, np.float32)
@@ -69,6 +160,20 @@ class SerendipityEvaluator:
         self.has_test = np.diff(inter.test_indptr) > 0
         self.has_train = np.diff(inter.train_indptr) > 0
         self.ser1_valid = self.has_test & self.has_train
+        # device CSR copies + static padded-history widths (multiples of the
+        # max-sim chunk so the chunked reduction divides evenly)
+        self._te_ptr = jnp.asarray(inter.test_indptr, jnp.int32)
+        self._te_idx = jnp.asarray(inter.test_indices, jnp.int32)
+        self._tr_ptr = jnp.asarray(inter.train_indptr, jnp.int32)
+        self._tr_idx = jnp.asarray(inter.train_indices, jnp.int32)
+
+        def _width(ptr):
+            d = int(np.diff(ptr).max()) if len(ptr) > 1 else 1
+            return ((max(d, 1) + 127) // 128) * 128
+
+        self._h_te = _width(inter.test_indptr)
+        self._h_tr = _width(inter.train_indptr)
+        self._en_dev = None   # unit-normalized item table, built on first chamfer
 
     # ---- ser1 ---------------------------------------------------------------
 
@@ -77,28 +182,18 @@ class SerendipityEvaluator:
         acc = norm(max-sim of rec item to TEST items),
         dif = 1 - norm(max-sim of rec item to TRAIN items)."""
         u, k = mat_rec.shape
-        acc = np.zeros((u, k), np.float32)
-        dif = np.zeros((u, k), np.float32)
         denom = max(self.ii_max - self.ii_min, 1e-12)
-        for s in range(0, u, self.user_block):
-            e = min(s + self.user_block, u)
-            rows = np.arange(s, e)
-            rec_emb = self.ei_dev[jnp.asarray(mat_rec[s:e])]
-            te = padded_rows(
-                self.inter.test_indptr, self.inter.test_indices, rows, self.n_items
-            )
-            tr = padded_rows(
-                self.inter.train_indptr, self.inter.train_indices, rows, self.n_items
-            )
-            ms_te = np.asarray(
-                max_sim_to_history(rec_emb, jnp.asarray(te), self.ei_pad, self.n_items)
-            )
-            ms_tr = np.asarray(
-                max_sim_to_history(rec_emb, jnp.asarray(tr), self.ei_pad, self.n_items)
-            )
-            acc[s:e] = (ms_te - self.ii_min) / denom
-            dif[s:e] = 1.0 - (ms_tr - self.ii_min) / denom
-        return acc, dif
+        ms_te, ms_tr = _acc_dif_device(
+            jnp.asarray(mat_rec, jnp.int32), self.ei_pad,
+            self._te_ptr, self._te_idx, self._tr_ptr, self._tr_idx,
+            n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
+            block=self.user_block,
+        )
+        ms_te = np.asarray(ms_te[:u])
+        ms_tr = np.asarray(ms_tr[:u])
+        acc = (ms_te - self.ii_min) / denom
+        dif = 1.0 - (ms_tr - self.ii_min) / denom
+        return acc.astype(np.float32), dif.astype(np.float32)
 
     @staticmethod
     def ser1_from_acc_dif(acc: np.ndarray, dif: np.ndarray) -> float:
@@ -141,27 +236,15 @@ class SerendipityEvaluator:
         per user, mean over rec items NOT in pm of (max-sim to train), min_dis when
         empty; final value min-max normalized by the global I.I^T range."""
         u, k = mat_rec.shape
-        vals = np.zeros(u, np.float32)
-        for s in range(0, u, self.user_block):
-            e = min(s + self.user_block, u)
-            rows = np.arange(s, e)
-            rec = mat_rec[s:e]
-            pm_sorted = np.sort(pm[s:e], axis=1)
-            keep = ~np.asarray(
-                _membership_sorted_rows(jnp.asarray(rec), jnp.asarray(pm_sorted))
-            )
-            rec_emb = self.ei_dev[jnp.asarray(rec)]
-            tr = padded_rows(
-                self.inter.train_indptr, self.inter.train_indices, rows, self.n_items
-            )
-            ms_tr = np.asarray(
-                max_sim_to_history(rec_emb, jnp.asarray(tr), self.ei_pad, self.n_items)
-            )
-            cnt = keep.sum(axis=1)
-            summed = (ms_tr * keep).sum(axis=1)
-            vals[s:e] = np.where(
-                cnt > 0, summed / np.maximum(cnt, 1), self.ii_min
-            )
+        vals = np.asarray(
+            _ser2_device(
+                jnp.asarray(mat_rec, jnp.int32),
+                jnp.asarray(np.sort(pm, axis=1), jnp.int32),
+                self.ei_pad, self._tr_ptr, self._tr_idx,
+                jnp.float32(self.ii_min),
+                n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
+            )[:u]
+        )
         # users with no train history have no max-sim; exclude (see ser1_valid note)
         vals = vals[self.has_train]
         return float(
@@ -255,14 +338,7 @@ class SerendipityEvaluator:
         out["qua"] = float(norm_feat(mr)[flat].mean()) if mr is not None else 0.0
 
         # diversity: 1 - norm(mean pairwise dot of rec embeddings), per user
-        rec_emb = self.ei_dev[jnp.asarray(mat_rec)]
-
-        @jax.jit
-        def mean_pairwise(re):
-            g = jnp.einsum("ukd,ujd->ukj", re, re, preferred_element_type=jnp.float32)
-            return jnp.mean(g, axis=(1, 2))
-
-        mp = np.asarray(mean_pairwise(rec_emb))
+        mp = np.asarray(_mean_pairwise_dots(self.ei_dev[jnp.asarray(mat_rec)]))
         out["div"] = float(
             np.mean(1.0 - (mp - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12))
         )
@@ -336,23 +412,16 @@ class SerendipityEvaluator:
     ) -> np.ndarray:
         """cosDis_diff with userMaxDistNorm (`utils.py:438-448`): per user, the
         normalized min-cosine-distance chamfer terms [U, 2] = (A->B, B->A)."""
-        ei = self.emb_item
-        en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
-        en_dev = jnp.asarray(en.astype(np.float32))
-
-        @jax.jit
-        def chamfer(ra, rb):
-            ea = en_dev[ra]
-            eb = en_dev[rb]
-            cos = jnp.einsum("ukd,ujd->ukj", ea, eb, preferred_element_type=jnp.float32)
-            dist = (1.0 - cos) / 2.0
-            dist = jnp.where(jnp.abs(dist) <= eps, 0.0, dist)
-            dist = (dist - cos_min) / max(cos_max - cos_min, 1e-12)
-            ab = jnp.mean(jnp.min(dist, axis=2), axis=1)
-            ba = jnp.mean(jnp.min(dist, axis=1), axis=1)
-            return jnp.stack([ab, ba], axis=1)
-
-        return np.asarray(chamfer(jnp.asarray(rec_a), jnp.asarray(rec_b)))
+        if self._en_dev is None:
+            ei = self.emb_item
+            en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+            self._en_dev = jnp.asarray(en.astype(np.float32))
+        return np.asarray(
+            _chamfer_pair(
+                jnp.asarray(rec_a), jnp.asarray(rec_b), self._en_dev,
+                jnp.float32(cos_min), jnp.float32(cos_max), jnp.float32(eps),
+            )
+        )
 
     def disentanglement_matrix(
         self, recs: Dict[str, np.ndarray], methods: Sequence[str]
@@ -435,17 +504,12 @@ class SerendipityEvaluator:
             )
         else:  # avgLink
             en_dev = jnp.asarray(en.astype(np.float32))
-
-            @jax.jit
-            def mean_dist(ra, rb):
-                cos = jnp.einsum(
-                    "ukd,ujd->ukj", en_dev[ra], en_dev[rb],
-                    preferred_element_type=jnp.float32,
+            ab = np.asarray(
+                _mean_dist_pair(
+                    jnp.asarray(rec_a), jnp.asarray(rec_b), en_dev,
+                    jnp.float32(f_mn), jnp.float32(f_mx),
                 )
-                d = ((1.0 - cos) / 2.0 - f_mn) / max(f_mx - f_mn, 1e-12)
-                return jnp.mean(d, axis=(1, 2))
-
-            ab = np.asarray(mean_dist(jnp.asarray(rec_a), jnp.asarray(rec_b)))
+            )
             ba = ab
             ideal_a = np.array(
                 [self.max_average_linkage(r, full_n, k) for r in rec_a]

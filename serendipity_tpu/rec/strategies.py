@@ -34,11 +34,6 @@ import numpy as np
 from serendipity_tpu.data.datasets import Interactions
 
 
-@jax.jit
-def _acc_block(ue, cand_emb):
-    return jnp.einsum("bd,bcd->bc", ue, cand_emb, preferred_element_type=jnp.float32)
-
-
 def minmax_rows(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     mn = jnp.min(x, axis=-1, keepdims=True)
     mx = jnp.max(x, axis=-1, keepdims=True)
@@ -81,6 +76,87 @@ def max_sim_to_history(
     return jnp.max(dots, axis=-1)
 
 
+def padded_rows_device(
+    indptr: jnp.ndarray,        # [U+1] int32 CSR row pointers (device)
+    indices: jnp.ndarray,       # [nnz] int32 column ids (device)
+    rows: jnp.ndarray,          # [B] int32 row ids
+    h_max: int,                 # static width >= max row degree
+    pad_val: int,
+) -> jnp.ndarray:
+    """[B, h_max] padded CSR rows, built on device — the traced replacement for the
+    host `padded_rows` loop, so whole stages can run as one dispatch (the per-block
+    host round-trip costs ~77 ms each on tunneled TPU backends)."""
+    starts = indptr[rows]
+    deg = indptr[rows + 1] - starts
+    pos = starts[:, None] + jnp.arange(h_max, dtype=jnp.int32)[None, :]
+    ids = indices[jnp.clip(pos, 0, indices.shape[0] - 1)]
+    return jnp.where(jnp.arange(h_max)[None, :] < deg[:, None], ids, pad_val)
+
+
+def max_sim_chunked(
+    cand_emb: jnp.ndarray,      # [B, C, D]
+    hist_idx: jnp.ndarray,      # [B, T] padded (pad = n_items), T % h_chunk == 0
+    item_emb_padded: jnp.ndarray,
+    n_items: int,
+    h_chunk: int = 128,
+) -> jnp.ndarray:
+    """`max_sim_to_history` with a running max over fixed-width history chunks:
+    peak memory O(B*C*h_chunk) instead of O(B*C*T).  Traced (call under jit)."""
+    b, c, _ = cand_emb.shape
+    t = hist_idx.shape[1]
+    if t <= h_chunk:
+        return max_sim_to_history(cand_emb, hist_idx, item_emb_padded, n_items)
+    assert t % h_chunk == 0, "pad history width to a multiple of h_chunk"
+
+    def body(i, run):
+        sl = jax.lax.dynamic_slice_in_dim(hist_idx, i * h_chunk, h_chunk, axis=1)
+        hist_emb = item_emb_padded[sl]
+        dots = jnp.einsum(
+            "bcd,btd->bct", cand_emb, hist_emb,
+            preferred_element_type=jnp.float32,
+        )
+        dots = jnp.where((sl < n_items)[:, None, :], dots, -jnp.inf)
+        return jnp.maximum(run, jnp.max(dots, axis=-1))
+
+    init = jnp.full((b, c), -jnp.inf, jnp.float32)
+    return jax.lax.fori_loop(0, t // h_chunk, body, init)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def loop_user_blocks(fn, n_users: int, block: int = 1024, block_align: int = 8):
+    """TRACED helper (call inside a jit you cache): run `fn(rows [block]) -> pytree
+    of [block, ...]` over all users with a `fori_loop` writing into preallocated
+    [n_users_padded, ...] buffers.  One dispatch for the whole stage, and — unlike
+    `lax.scan` — compile time is independent of the trip count (remote-compile
+    time grows ~5 s per scan step on tunneled toolchains).  Caller slices
+    [:n_users]; out-of-range rows are clamped to the last user and overwritten
+    or discarded by that slice."""
+    block = _round_up(min(block, max(n_users, 1)), block_align)
+    n_steps = max(1, -(-n_users // block))
+    u_pad = block * n_steps
+    rows0 = jnp.arange(block, dtype=jnp.int32)
+    shapes = jax.eval_shape(fn, rows0)
+    bufs = jax.tree.map(
+        lambda s: jnp.zeros((u_pad,) + s.shape[1:], s.dtype), shapes
+    )
+
+    def body(i, bufs):
+        rows = jnp.minimum(i * block + rows0, n_users - 1)
+        out = fn(rows)
+        return jax.tree.map(
+            lambda b, o: jax.lax.dynamic_update_slice(
+                b, o, (i * block,) + (0,) * (b.ndim - 1)
+            ),
+            bufs,
+            out,
+        )
+
+    return jax.lax.fori_loop(0, n_steps, body, bufs)
+
+
 def item_item_minmax(
     emb_item: np.ndarray, block: int = 2048
 ) -> Tuple[float, float]:
@@ -98,6 +174,32 @@ def item_item_minmax(
         mn = min(mn, float(a))
         mx = max(mx, float(b))
     return mn, mx
+
+
+@partial(jax.jit, static_argnames=("n_items", "h_max"))
+def _raw_and_maxsim_all(
+    eu: jnp.ndarray,            # [U, D]
+    ei_pad: jnp.ndarray,        # [N+1, D]
+    cand: jnp.ndarray,          # [U, C] int32
+    tr_ptr: jnp.ndarray,        # [U+1] int32
+    tr_idx: jnp.ndarray,        # [nnz] int32
+    n_items: int,
+    h_max: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One dispatch for every user: (raw u.cand dots [U_pad, C], max-sim of each
+    candidate to the user's train history [U_pad, C])."""
+    n_users = eu.shape[0]
+
+    def blk(rows):
+        ce = ei_pad[cand[rows]]                               # [B, C, D]
+        raw = jnp.einsum(
+            "bd,bcd->bc", eu[rows], ce, preferred_element_type=jnp.float32
+        )
+        hist = padded_rows_device(tr_ptr, tr_idx, rows, h_max, n_items)
+        ms = max_sim_chunked(ce, hist, ei_pad, n_items)
+        return raw, ms
+
+    return loop_user_blocks(blk, n_users)
 
 
 class StrategyScorer:
@@ -153,15 +255,30 @@ class StrategyScorer:
         deg = np.diff(inter.train_indptr).astype(np.float32)
         dmin, dmax = deg.min(), deg.max()
         self.elasticity = (deg - dmin) / max(dmax - dmin, 1e-12)
+        self._raw_ms: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
-    # ---- per-block device kernels ------------------------------------------
+    # ---- fused device pass ---------------------------------------------------
 
-    def _blocks(self):
-        for s in range(0, self.n_users, self.user_block):
-            yield s, min(s + self.user_block, self.n_users)
-
-    def _cand_emb(self, s, e):
-        return self.ei_dev[jnp.asarray(self.candidates[s:e])]
+    def _raw_and_maxsim(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw dots + train max-sim for all users in one device dispatch, cached."""
+        if self._raw_ms is None:
+            h_max = _round_up(
+                max(1, int(np.diff(self.inter.train_indptr).max())), 128
+            )
+            raw, ms = _raw_and_maxsim_all(
+                jnp.asarray(self.emb_user),
+                self.ei_pad,
+                jnp.asarray(self.candidates, dtype=jnp.int32),
+                jnp.asarray(self.inter.train_indptr, jnp.int32),
+                jnp.asarray(self.inter.train_indices, jnp.int32),
+                n_items=self.n_items,
+                h_max=h_max,
+            )
+            self._raw_ms = (
+                np.asarray(raw[: self.n_users]),
+                np.asarray(ms[: self.n_users]),
+            )
+        return self._raw_ms
 
     # ---- public scorers -----------------------------------------------------
 
@@ -188,11 +305,7 @@ class StrategyScorer:
 
     def acc_raw(self) -> np.ndarray:
         """Raw u.cand dot products [U, C] (used by ela and acc)."""
-        out = np.zeros(self.candidates.shape, np.float32)
-        for s, e in self._blocks():
-            ue = jnp.asarray(self.emb_user[s:e])
-            out[s:e] = np.asarray(_acc_block(ue, self._cand_emb(s, e)))
-        return out
+        return self._raw_and_maxsim()[0]
 
     def acc(self, raw: Optional[np.ndarray] = None) -> np.ndarray:
         raw = self.acc_raw() if raw is None else raw
@@ -213,18 +326,10 @@ class StrategyScorer:
     def dif(self) -> np.ndarray:
         """1 - normalized max-sim to train history; NOT per-user re-normalized
         (`recommend_combination.py:282-305` returns dif directly)."""
-        out = np.zeros(self.candidates.shape, np.float32)
-        tr_ptr, tr_idx = self.inter.train_indptr, self.inter.train_indices
-        for s, e in self._blocks():
-            rows = np.arange(s, e)
-            hist = padded_rows(tr_ptr, tr_idx, rows, self.n_items)
-            ms = max_sim_to_history(
-                self._cand_emb(s, e), jnp.asarray(hist), self.ei_pad, self.n_items
-            )
-            out[s:e] = np.asarray(
-                1.0 - (ms - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12)
-            )
-        return out
+        ms = self._raw_and_maxsim()[1]
+        return (
+            1.0 - (ms - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12)
+        ).astype(np.float32)
 
     def all_scores(self, seed: int, alpha: float = 1.0) -> Dict[str, np.ndarray]:
         raw = self.acc_raw()
@@ -242,6 +347,13 @@ class StrategyScorer:
 def topk_from_scores(
     scores: np.ndarray, candidates: np.ndarray, k: int
 ) -> np.ndarray:
-    """Selection form: top-k candidate ids by score, descending ([U, k] int32)."""
-    order = np.argsort(-scores, axis=1)[:, :k]
-    return np.take_along_axis(candidates, order, axis=1).astype(np.int32)
+    """Selection form: top-k candidate ids by score, descending ([U, k] int32).
+
+    Selection runs on device (`ops/topk.topk_exact_2stage`, one dispatch); the
+    host argsort it replaces cost seconds per method at study scale."""
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    _, order = topk_exact_2stage(jnp.asarray(scores, jnp.float32), k)
+    return np.take_along_axis(
+        candidates, np.asarray(order), axis=1
+    ).astype(np.int32)
