@@ -16,7 +16,15 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # The site preload initializes jax with its own platform choice before this
+    # script runs, so the JAX_PLATFORMS env var alone is ignored; re-assert it
+    # through the config (same trick as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     sys.path.insert(0, ".")
     from serendipity_tpu.config import ExperimentConfig, apply_overrides

@@ -44,16 +44,27 @@ def expand_fusion_specs(fuse, fuse_sweep):
     return specs or None
 
 
+def _load_embedding_pair(path: str):
+    """Load (emb_user, emb_item) from a run directory.
+
+    Accepts both the trainer's `emb_user.npy`/`emb_item.npy` and the ProNE
+    export names `emb_user_proNE.npy`/`emb_item_proNE.npy` (the reference's
+    filenames, `proNE.py:177-178`), so `train --pretrained` / `eval
+    --embeddings` can point straight at a `prone` output directory.
+    """
+    for suffix in ("", "_proNE"):
+        fu = os.path.join(path, f"emb_user{suffix}.npy")
+        fi = os.path.join(path, f"emb_item{suffix}.npy")
+        if os.path.exists(fu) and os.path.exists(fi):
+            return np.load(fu), np.load(fi)
+    raise FileNotFoundError(f"no emb_user/emb_item .npy pair under {path}")
+
+
 def cmd_train(args) -> None:
     from serendipity_tpu.train.runner import run_training
 
     cfg = _cfg(args.overrides)
-    pretrained = None
-    if args.pretrained:
-        pretrained = (
-            np.load(os.path.join(args.pretrained, "emb_user.npy")),
-            np.load(os.path.join(args.pretrained, "emb_item.npy")),
-        )
+    pretrained = _load_embedding_pair(args.pretrained) if args.pretrained else None
     run_training(cfg, pretrained=pretrained)
 
 
@@ -78,8 +89,7 @@ def cmd_pipeline(args) -> None:
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
     if args.embeddings:
-        emb_u = np.load(os.path.join(args.embeddings, "emb_user.npy"))
-        emb_i = np.load(os.path.join(args.embeddings, "emb_item.npy"))
+        emb_u, emb_i = _load_embedding_pair(args.embeddings)
     else:
         res = run_training(cfg, inter=inter)
         emb_u, emb_i = res["emb_user"], res["emb_item"]
@@ -120,9 +130,12 @@ def cmd_preprocess(args) -> None:
     export_adjacency_lists(inter, args.output)
     export_serendipity_csvs(inter, args.output, uvocab, ivocab)
     export_prone_graph(inter, os.path.join(args.output, "proNE_ui_graph.txt"))
+    # dataset statistics line (role of `stat_dataset`, rating_data_process.py:76-91)
+    density = (inter.n_train + inter.n_test) / (inter.n_users * inter.n_items)
     print(
         f"{args.output}: {inter.n_users} users, {inter.n_items} items, "
-        f"{inter.n_train} train / {inter.n_test} test interactions"
+        f"{inter.n_train} train / {inter.n_test} test interactions, "
+        f"density {density:.6f}"
     )
 
 
@@ -133,8 +146,7 @@ def cmd_eval(args) -> None:
 
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
-    emb_u = np.load(os.path.join(args.embeddings, "emb_user.npy"))
-    emb_i = np.load(os.path.join(args.embeddings, "emb_item.npy"))
+    emb_u, emb_i = _load_embedding_pair(args.embeddings)
     data = build_device_data(inter, adj_type=cfg.model.adj_type)
     model = build_model(cfg, inter.n_users, inter.n_items)
     import jax.numpy as jnp

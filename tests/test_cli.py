@@ -57,6 +57,27 @@ def test_cli_preprocess_train_pipeline(raw_csv, tmp_path, monkeypatch):
     ])
     assert (emb_dir / "emb_user_proNE.npy").exists()
 
+    # ProNE -> LightGCN fine-tune interop: a directory holding only the
+    # reference-named emb_*_proNE.npy files is a valid --pretrained init
+    # (the reference's --pretrain path, `LightGCN.py:168-180`)
+    cli.main([
+        "prone", f"data.path={out_ds}", "data.name=tiny_prone", "prone.dim=8",
+    ])
+    prone_dir = tmp_path / "runs" / "tiny_prone"
+    assert not (prone_dir / "emb_user.npy").exists()
+    cli.main([
+        "train", "--pretrained", str(prone_dir),
+        f"data.path={out_ds}", "data.name=tiny_ft",
+        "model.embed_dim=8", "model.n_layers=1",
+        "train.epochs=1", "train.eval_every=1", "train.batch_size=64",
+        "eval.user_batch=32",
+    ])
+    assert (tmp_path / "runs" / "tiny_ft" / "emb_user.npy").exists()
+    cli.main([
+        "eval", "--embeddings", str(prone_dir),
+        f"data.path={out_ds}", "eval.user_batch=32",
+    ])
+
     cli.main([
         "pipeline", f"data.path={out_ds}", "data.name=tiny",
         "--embeddings", str(emb_dir),
