@@ -98,6 +98,91 @@ def _fused_kernel_insert(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_til
     topi_ref[:] = i_fin
 
 
+def _fused_kernel_subtile(
+    eu_ref, ei_ref, topv_ref, topi_ref, v_scr, i_scr,
+    *, k: int, item_tile: int, sub: int,
+):
+    """Sub-block-gated variant: decouple extraction from the full tile width.
+
+    The "insert" variant's while_loop couples all rows through one global max, so
+    every trip pays ~6 full-width [bu, item_tile] VPU passes.  Here the MXU matmul
+    stays wide (item_tile), but selection runs per SUB-block of width `sub`: one
+    cheap block-max pass computes, per sub-block, whether ANY row still admits a
+    candidate (`pl.when` on a scalar), and only admitting sub-blocks run the
+    sorted-insert while_loop — at 1/(item_tile/sub) of the width.  After the first
+    tile raises the per-row thresholds, expected admitting sub-blocks per tile
+    ~= expected candidates (k*item_tile/N per row), so steady-state cost is the
+    matmul + ~2 full-width passes, independent of k.
+
+    The running top-k lives in VMEM scratch (mutated inside `pl.when`), which is
+    what allows predicated in-place updates instead of functional carries.
+    Admission uses strict `>` against each row's k-th value and sub-blocks are
+    processed in ascending item order, so tie order (first occurrence wins) is
+    bit-identical to `lax.top_k` and the other variants.
+    """
+    bu = eu_ref.shape[0]
+    n_items = ei_ref.shape[0]
+    n_tiles = n_items // item_tile
+    nb = item_tile // sub
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bu, sub), 1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
+    big = jnp.int32(sub + 1)
+
+    v_scr[:] = jnp.full((bu, k), -jnp.inf, jnp.float32)
+    i_scr[:] = jnp.zeros((bu, k), jnp.int32)
+
+    def tile_body(t, carry):
+        tile = ei_ref[pl.ds(t * item_tile, item_tile), :]
+        s = jax.lax.dot_general(
+            eu_ref[:], tile,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [bu, item_tile]
+        for b in range(nb):
+            sb = s[:, b * sub:(b + 1) * sub]                        # static slice
+            bm = jnp.max(sb, axis=1)                                # [bu]
+            # stale-threshold check is conservative: thresholds only rise, so a
+            # sub-block skipped against the current scratch stays skippable
+            @pl.when(jnp.any(bm > v_scr[:, k - 1]))
+            def _(b=b, sb=sb, bm=bm, t=t):
+                ids = cols + (t * item_tile + b * sub)
+
+                def cond(st):
+                    _, vv, _, m = st
+                    return jnp.any(m > vv[:, k - 1])
+
+                def body(st):
+                    wv, vv, ii, m = st
+                    is_m = wv >= m[:, None]
+                    am = jnp.min(jnp.where(is_m, cols, big), axis=1)
+                    sel = cols == am[:, None]
+                    gid = jnp.max(jnp.where(sel, ids, -1), axis=1)
+                    wv = jnp.where(sel, -jnp.inf, wv)
+                    do = (m > vv[:, k - 1])[:, None]
+                    pos = jnp.sum((vv >= m[:, None]).astype(jnp.int32), axis=1)[:, None]
+                    v_sh = jnp.concatenate([vv[:, :1], vv[:, :-1]], axis=1)
+                    i_sh = jnp.concatenate([ii[:, :1], ii[:, :-1]], axis=1)
+                    v_new = jnp.where(
+                        slots == pos, m[:, None], jnp.where(slots > pos, v_sh, vv)
+                    )
+                    i_new = jnp.where(
+                        slots == pos, gid[:, None], jnp.where(slots > pos, i_sh, ii)
+                    )
+                    vv = jnp.where(do, v_new, vv)
+                    ii = jnp.where(do, i_new, ii)
+                    return wv, vv, ii, jnp.max(wv, axis=1)
+
+                st = (sb, v_scr[:], i_scr[:], bm)
+                _, vv, ii, _ = jax.lax.while_loop(cond, body, st)
+                v_scr[:] = vv
+                i_scr[:] = ii
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    topv_ref[:] = v_scr[:]
+    topi_ref[:] = i_scr[:]
+
+
 def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int):
     bu = eu_ref.shape[0]
     n_items = ei_ref.shape[0]
@@ -149,7 +234,8 @@ def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "user_tile", "item_tile", "interpret", "variant")
+    jax.jit,
+    static_argnames=("k", "user_tile", "item_tile", "sub_tile", "interpret", "variant"),
 )
 def fused_score_topk(
     eu: jnp.ndarray,          # [U, D] bf16/f32 user vectors (U % user_tile == 0)
@@ -157,8 +243,11 @@ def fused_score_topk(
     k: int = 20,
     user_tile: int = 256,
     item_tile: int = 2048,   # swept on v5e: 2048 > 1024 ~ 512; 512-wide user tiles regress
+    sub_tile: int = 256,     # selection sub-block width for the "subtile" variant
     interpret: bool = False,
-    variant: str = "insert",   # "insert" (thresholded while_loop, 2x) | "extract" (fixed k passes)
+    variant: str = "subtile",  # "subtile" (gated sub-block extraction, fastest)
+                               # | "insert" (thresholded while_loop)
+                               # | "extract" (fixed k passes)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
     u, d = eu.shape
@@ -167,8 +256,20 @@ def fused_score_topk(
     item_tile = min(item_tile, n)
     assert u % user_tile == 0 and n % item_tile == 0
     grid = (u // user_tile,)
-    body = _fused_kernel_insert if variant == "insert" else _fused_kernel
-    kernel = functools.partial(body, k=k, item_tile=item_tile)
+    scratch = []
+    if variant == "subtile":
+        sub_tile = min(sub_tile, item_tile)
+        assert item_tile % sub_tile == 0
+        kernel = functools.partial(
+            _fused_kernel_subtile, k=k, item_tile=item_tile, sub=sub_tile
+        )
+        scratch = [
+            pltpu.VMEM((user_tile, k), jnp.float32),
+            pltpu.VMEM((user_tile, k), jnp.int32),
+        ]
+    else:
+        body = _fused_kernel_insert if variant == "insert" else _fused_kernel
+        kernel = functools.partial(body, k=k, item_tile=item_tile)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -184,5 +285,6 @@ def fused_score_topk(
             jax.ShapeDtypeStruct((u, k), jnp.float32),
             jax.ShapeDtypeStruct((u, k), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(eu, ei)

@@ -108,6 +108,17 @@ def make_spmm(fwd: EllLayout, bwd: EllLayout) -> Callable:
     return f
 
 
+def csr_order_perms(inter) -> Tuple[np.ndarray, np.ndarray]:
+    """(perm, inv): `arr_by_item = arr_by_user[perm]` and `arr_by_user = arr_by_item[inv]`.
+
+    CSR-by-user edge order is (user asc, item asc); a stable sort on the item column
+    yields (item asc, user asc) = CSR-by-item order.
+    """
+    perm = np.argsort(inter.train_indices, kind="stable")
+    inv = np.argsort(perm, kind="stable")
+    return perm, inv
+
+
 def make_bipartite_spmm(
     inter,
     weights_by_user: np.ndarray,
@@ -116,10 +127,14 @@ def make_bipartite_spmm(
 ) -> Tuple[Callable, Callable]:
     """(user<-items op, item<-users op) for the normalized bipartite adjacency.
 
-    `weights_by_user` are the per-edge A_hat values in CSR-by-user order;
-    `weights_by_item` the same multiset in CSR-by-item order.  Each op's transpose
-    is the other direction's layout.
+    `weights_by_user` are the per-edge values of the user<-items block in CSR-by-user
+    order; `weights_by_item` those of the item<-users block in CSR-by-item order.
+    Each op's TRANSPOSE layout carries its own forward weights reordered into the
+    opposite CSR order — for the symmetric operators (pre/plain) that equals the
+    other direction's weights, but for the row-normalized ones (gcmc/norm) the two
+    blocks differ and the gradient needs the true A^T, not the other block.
     """
+    perm, inv = csr_order_perms(inter)
     ui = build_ell(
         inter.train_indptr, inter.train_indices, weights_by_user,
         inter.n_users, inter.n_items, width,
@@ -128,4 +143,16 @@ def make_bipartite_spmm(
         inter.train_indptr_by_item, inter.train_indices_by_item, weights_by_item,
         inter.n_items, inter.n_users, width,
     )
-    return make_spmm(ui, iu), make_spmm(iu, ui)
+    if np.array_equal(weights_by_user[perm], weights_by_item):
+        # symmetric operator (pre/plain): A_ui^T == A_iu, share the layouts
+        ui_t, iu_t = iu, ui
+    else:
+        ui_t = build_ell(
+            inter.train_indptr_by_item, inter.train_indices_by_item,
+            weights_by_user[perm], inter.n_items, inter.n_users, width,
+        )
+        iu_t = build_ell(
+            inter.train_indptr, inter.train_indices, weights_by_item[inv],
+            inter.n_users, inter.n_items, width,
+        )
+    return make_spmm(ui, ui_t), make_spmm(iu, iu_t)

@@ -43,10 +43,18 @@ class BPRTrainer:
         cfg: ExperimentConfig,
         model: EmbeddingModel,
         data: DeviceData,
+        batch_sharding=None,
+        param_shardings=None,
     ):
+        """`batch_sharding`/`param_shardings` activate the multi-chip path
+        (`parallel/sharded.py`): sampled batches get a P('data') constraint and the
+        updated tables keep their row sharding; everything else — scan-chunked
+        epochs, early stopping, checkpointing — is identical on 1 chip or a mesh."""
         self.cfg = cfg
         self.model = model
         self.data = data
+        self.batch_sharding = batch_sharding
+        self.param_shardings = param_shardings
         self.optimizer = optax.adam(cfg.train.lr)
         tcfg = cfg.train
         steps = tcfg.steps_per_epoch or max(1, -(-data.n_train // tcfg.batch_size))
@@ -59,9 +67,16 @@ class BPRTrainer:
     def init_state(self, pretrained=None) -> TrainState:
         key = jax.random.PRNGKey(self.cfg.train.seed)
         k_init, k_loop = jax.random.split(key)
+        # model row counts, not dataset counts: on a mesh the tables are padded to
+        # the device-count multiple (pad rows get zero grad and are never sampled)
         params = init_params(
-            k_init, self.cfg.model, self.data.n_users, self.data.n_items, pretrained
+            k_init, self.cfg.model, self.model.n_users, self.model.n_items, pretrained
         )
+        if self.param_shardings is not None:
+            params = {
+                k: jax.device_put(v, self.param_shardings[k])
+                for k, v in params.items()
+            }
         return TrainState(
             params=params, opt_state=self.optimizer.init(params), key=k_loop
         )
@@ -83,6 +98,10 @@ class BPRTrainer:
                 tcfg.batch_size,
                 tcfg.neg_resample_rounds,
             )
+            if self.batch_sharding is not None:
+                users = jax.lax.with_sharding_constraint(users, self.batch_sharding)
+                pos = jax.lax.with_sharding_constraint(pos, self.batch_sharding)
+                neg = jax.lax.with_sharding_constraint(neg, self.batch_sharding)
 
             def loss_fn(p):
                 return model.bpr_loss(
@@ -94,6 +113,11 @@ class BPRTrainer:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if self.param_shardings is not None:
+                params = {
+                    k: jax.lax.with_sharding_constraint(v, self.param_shardings[k])
+                    for k, v in params.items()
+                }
             return (params, opt_state), (loss, aux["mf_loss"])
 
         def chunk_fn(params, opt_state, key):

@@ -109,14 +109,18 @@ def _eval_batch(
 
 @jax.jit
 def _auc_batch(
-    all_u, all_i, users, valid, mask_rows, mask_items, pos_rows, pos_items
+    all_u, all_i, users, valid, mask_rows, mask_items, pos_rows, pos_items,
+    item_valid=None,
 ):
     """Sum of per-user AUC over the batch (reference `code/utils.py:265-274`:
-    candidates = all items minus the user's train items, labels = test items)."""
+    candidates = all items minus the user's train items, labels = test items).
+    `item_valid` (optional [N] bool) drops padded table rows on the sharded path."""
     b = users.shape[0]
     n = all_i.shape[0]
     scores = all_u[users] @ all_i.T
     valid_m = jnp.ones((b + 1, n), bool).at[mask_rows, mask_items].set(False)[:b]
+    if item_valid is not None:
+        valid_m = valid_m & item_valid[None, :]
     pos_m = jnp.zeros((b + 1, n), bool).at[pos_rows, pos_items].set(True)[:b]
     auc = auc_rows(scores, pos_m, valid_m)
     w = valid.astype(jnp.float32)
@@ -228,17 +232,22 @@ def sparsity_report(
     cfg: EvalConfig,
     params: Optional[Params] = None,
     all_emb: Optional[tuple] = None,
+    evaluator_factory=None,
 ) -> List[Tuple[str, Dict[str, float]]]:
     """Per-sparsity-level metrics, the contract of the reference `--report` path
     (`LightGCN-tf/LightGCN.py:526-560`): split test users into rating-volume
-    quartiles and evaluate each group independently."""
+    quartiles and evaluate each group independently.  `evaluator_factory`
+    (uids -> Evaluator) lets the mesh path substitute a ShardedEvaluator."""
     groups, states = sparsity_split(inter)
     if all_emb is None:
         all_emb = jax.jit(
             lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
         )(params)
+    factory = evaluator_factory or (
+        lambda uids: Evaluator(model, data, inter, cfg, user_subset=uids)
+    )
     out = []
     for uids, state in zip(groups, states):
-        ev = Evaluator(model, data, inter, cfg, user_subset=uids)
+        ev = factory(uids)
         out.append((state, ev.evaluate(params, all_emb=all_emb)))
     return out

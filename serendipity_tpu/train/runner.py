@@ -46,6 +46,49 @@ def build_model(cfg: ExperimentConfig, n_users: int, n_items: int) -> EmbeddingM
     )
 
 
+def _build_sharded(cfg, inter, pretrained):
+    """Multi-chip construction (the `mesh.data_axis`/`mesh.model_axis` CLI path):
+    dst-sharded propagation + row-sharded tables + sharded evaluation."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from serendipity_tpu.parallel.evaluator import ShardedEvaluator
+    from serendipity_tpu.parallel.mesh import make_mesh
+    from serendipity_tpu.parallel.sharded import (
+        _round_up, build_sharded_device_data, table_shardings,
+    )
+
+    mesh = make_mesh(n_data=cfg.mesh.data_axis, n_model=cfg.mesh.model_axis)
+    n_data = mesh.shape["data"]
+    if cfg.train.batch_size % n_data:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, batch_size=_round_up(cfg.train.batch_size, n_data)
+            ),
+        )
+    data, model, up, ip = build_sharded_device_data(cfg, inter, mesh)
+    trainer = BPRTrainer(
+        cfg, model, data,
+        batch_sharding=NamedSharding(mesh, P("data")),
+        param_shardings=table_shardings(mesh),
+    )
+    evaluator = ShardedEvaluator(
+        model, data, inter, cfg.eval, mesh=mesh, n_items_padded=ip
+    )
+    if pretrained is not None:
+        pu, pi = np.asarray(pretrained[0]), np.asarray(pretrained[1])
+        pretrained = (
+            np.pad(pu, ((0, up - pu.shape[0]), (0, 0))),
+            np.pad(pi, ((0, ip - pi.shape[0]), (0, 0))),
+        )
+    ev_factory = lambda uids: ShardedEvaluator(  # noqa: E731
+        model, data, inter, cfg.eval, mesh=mesh, n_items_padded=ip,
+        user_subset=uids,
+    )
+    return cfg, data, model, trainer, evaluator, pretrained, ev_factory
+
+
 def run_training(
     cfg: ExperimentConfig,
     inter: Optional[Interactions] = None,
@@ -56,10 +99,17 @@ def run_training(
 
     if inter is None:
         inter = load_dataset(cfg)
-    data = build_device_data(inter, adj_type=cfg.model.adj_type)
-    model = build_model(cfg, inter.n_users, inter.n_items)
-    trainer = BPRTrainer(cfg, model, data)
-    evaluator = Evaluator(model, data, inter, cfg.eval)
+    use_mesh = cfg.mesh.model_axis > 1 or cfg.mesh.data_axis > 1
+    ev_factory = None
+    if use_mesh:
+        cfg, data, model, trainer, evaluator, pretrained, ev_factory = (
+            _build_sharded(cfg, inter, pretrained)
+        )
+    else:
+        data = build_device_data(inter, adj_type=cfg.model.adj_type)
+        model = build_model(cfg, inter.n_users, inter.n_items)
+        trainer = BPRTrainer(cfg, model, data)
+        evaluator = Evaluator(model, data, inter, cfg.eval)
     state = trainer.init_state(pretrained=pretrained)
 
     out_dir = os.path.join(cfg.out_dir, cfg.data.name)
@@ -95,10 +145,15 @@ def run_training(
     if cfg.eval.report:
         from serendipity_tpu.train.evaluator import sparsity_report
 
-        for sstate, m in sparsity_report(model, data, inter, cfg.eval, state.params):
+        for sstate, m in sparsity_report(
+            model, data, inter, cfg.eval, state.params,
+            evaluator_factory=ev_factory,
+        ):
             log_fn(sstate)
             log_fn("  " + "  ".join(f"{k}={v:.5f}" for k, v in m.items()))
     emb_user, emb_item = trainer.export_embeddings(state)
+    # mesh path trains padded tables; the export contract is the real catalog
+    emb_user, emb_item = emb_user[: inter.n_users], emb_item[: inter.n_items]
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "emb_user.npy"), emb_user)
