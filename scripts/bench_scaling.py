@@ -43,28 +43,52 @@ def main():
     )
 
     n_dev = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
-    base = None
-    for s in sizes:
-        mesh = make_mesh(n_data=s, n_model=1, devices=jax.devices()[:s])
+
+    def bench(n_data, n_model):
+        s = n_data * n_model
+        mesh = make_mesh(n_data=n_data, n_model=n_model, devices=jax.devices()[:s])
         setup = build_sharded_train_setup(cfg, inter, mesh)
         key = jax.random.PRNGKey(0)
         params, opt, key, loss = setup.step_fn(setup.params, setup.opt_state, key)
-        float(loss)  # sync
+        l0 = float(loss)  # sync; also a step-correctness signal per layout
         best = np.inf
         for _ in range(5):
             t0 = time.perf_counter()
             params, opt, key, loss = setup.step_fn(params, opt, key)
             float(loss)
             best = min(best, time.perf_counter() - t0)
-        ex_s = batch / best
+        return batch / best, best, l0
+
+    # width scaling: all-data meshes 1..N
+    base = None
+    for s in [x for x in (1, 2, 4, 8, 16, 32) if x <= n_dev]:
+        ex_s, best, l0 = bench(s, 1)
         if base is None:
             base = ex_s
-        eff = ex_s / (base * s)
         print(
-            f"devices={s}: {ex_s:,.0f} examples/s  "
-            f"step={best*1e3:.2f}ms  scaling_eff={eff:.2f}"
+            f"devices={s}x1: {ex_s:,.0f} examples/s  "
+            f"step={best*1e3:.2f}ms  scaling_eff={ex_s / (base * s):.2f}"
         )
+
+    # factorization grid at full width: every (data, model) split of N devices
+    full = []
+    d = n_dev
+    while d >= 1:
+        full.append((d, n_dev // d))
+        d //= 2
+    print(f"\n(data, model) factorizations of {n_dev} devices:")
+    losses = {}
+    for n_data, n_model in full:
+        ex_s, best, l0 = bench(n_data, n_model)
+        losses[(n_data, n_model)] = l0
+        print(
+            f"mesh={n_data}x{n_model}: {ex_s:,.0f} examples/s  "
+            f"step={best*1e3:.2f}ms  step1_loss={l0:.5f}"
+        )
+    l_vals = list(losses.values())
+    spread = max(l_vals) - min(l_vals)
+    print(f"step-1 loss spread across factorizations: {spread:.2e} "
+          f"({'OK' if spread < 1e-2 else 'MISMATCH'})")
 
 
 if __name__ == "__main__":

@@ -98,6 +98,150 @@ def _fused_kernel_insert(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_til
     topi_ref[:] = i_fin
 
 
+def _fused_kernel_twopass(
+    eu_ref, ei_ref, topv_ref, topi_ref, spill_ref,
+    bv_scr, bi_scr,
+    *, k: int, item_tile: int, cbuf: int, block: int = 128,
+):
+    """Two-pass exact top-k: threshold first, then collect only real candidates.
+
+    The streaming "insert" variant pays ~k*ln(N/k) prefix-update extractions per
+    row (each ~6 full-width VPU passes) because its admission threshold warms up
+    from -inf.  Here the threshold is computed BEFORE any extraction:
+
+      pass A: per row, maxima of every `block`-wide column block (one reduction
+              pass over the scores).  tau = k-th largest block max — a valid
+              admission bound, since >= k elements (the k block maxima) are >= tau
+              and every element >= tau lives in one of those k blocks, so the true
+              k-th score s_(k) >= tau.
+      pass B: re-score (MXU matmuls are ~2% of the budget) and collect every
+              entry >= tau into a [bu, cbuf] buffer — expected k + O(k) entries
+              per row, extracted in column order (2-3 passes per trip, no sorted
+              insert), with a per-row saturation flag.
+      merge:  exact top-k over the narrow buffer with (value desc, id asc)
+              ordering — identical tie semantics to `lax.top_k`.
+
+    Saturation (pathological tie mass, e.g. constant rows) sets `spill_ref`; the
+    wrapper falls back to the XLA exact path for the whole batch in that case, so
+    the kernel is exact on arbitrary inputs.
+    """
+    bu = eu_ref.shape[0]
+    n_items = ei_ref.shape[0]
+    n_tiles = n_items // item_tile
+    nb_tile = item_tile // block
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bu, item_tile), 1)
+    colsc = jax.lax.broadcasted_iota(jnp.int32, (bu, cbuf), 1)
+    big = jnp.int32(item_tile + 1)
+    big_id = jnp.int32(2 ** 30)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        spill_ref[0, 0] = 0
+
+    def score_tile(t):
+        tile = ei_ref[pl.ds(t * item_tile, item_tile), :]
+        return jax.lax.dot_general(
+            eu_ref[:], tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- pass A: running top-k of block maxima -> tau ------------------------
+    # Per tile, stack the nb_tile block maxima (registers only — dynamic lane
+    # stores are not Mosaic-provable) and fold them into a running top-k with a
+    # fixed k-pass extraction over the narrow [bu, k + nb_tile] concat.
+    colsw = jax.lax.broadcasted_iota(jnp.int32, (bu, k + nb_tile), 1)
+    slots_k = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
+
+    def pass_a(t, v_bm):
+        s = score_tile(t)
+        bm = jnp.stack(
+            [jnp.max(s[:, b * block:(b + 1) * block], axis=1)
+             for b in range(nb_tile)],
+            axis=1,
+        )                                                       # [bu, nb_tile]
+        work = jnp.concatenate([v_bm, bm], axis=1)
+
+        def extract(j, st):
+            w, out = st
+            m = jnp.max(w, axis=1)
+            am = jnp.min(
+                jnp.where(w >= m[:, None], colsw, jnp.int32(k + nb_tile + 1)),
+                axis=1,
+            )
+            w = jnp.where(colsw == am[:, None], -jnp.inf, w)
+            out = jnp.where(slots_k == j, m[:, None], out)
+            return w, out
+
+        _, v_bm = jax.lax.fori_loop(
+            0, k, extract, (work, jnp.full((bu, k), -jnp.inf, jnp.float32))
+        )
+        return v_bm
+
+    v_bm = jax.lax.fori_loop(
+        0, n_tiles, pass_a, jnp.full((bu, k), -jnp.inf, jnp.float32)
+    )
+    tau = v_bm[:, k - 1]
+
+    # ---- pass B: collect all entries >= tau ---------------------------------
+    bv_scr[:] = jnp.full((bu, cbuf), -jnp.inf, jnp.float32)
+    bi_scr[:] = jnp.full((bu, cbuf), big_id, jnp.int32)
+
+    def pass_b(t, st):
+        c_u, lost = st                                          # [bu] i32, [] i32-ish
+        s = score_tile(t)
+        ids = cols + t * item_tile
+        cand = s >= tau[:, None]
+        cnt = jnp.sum(cand.astype(jnp.int32), axis=1)           # [bu]
+        n_trips = jnp.max(cnt)
+
+        def trip(_, st2):
+            c_u, lost, cand = st2
+            am = jnp.min(jnp.where(cand, cols, big), axis=1)    # [bu]
+            has = am < big
+            sel = (cols == am[:, None]) & cand
+            val = jnp.max(jnp.where(sel, s, -jnp.inf), axis=1)
+            gid = jnp.max(jnp.where(sel, ids, -1), axis=1)
+            cand = cand & ~sel
+            ok = has & (c_u < cbuf)
+            put = ok[:, None] & (colsc == c_u[:, None])
+            bv_scr[:] = jnp.where(put, val[:, None], bv_scr[:])
+            bi_scr[:] = jnp.where(put, gid[:, None], bi_scr[:])
+            c_u = c_u + ok.astype(jnp.int32)
+            lost = lost + jnp.sum((has & ~ok).astype(jnp.int32))
+            return c_u, lost, cand
+
+        c_u, lost, _ = jax.lax.fori_loop(0, n_trips, trip, (c_u, lost, cand))
+        return c_u, lost
+
+    _, lost = jax.lax.fori_loop(
+        0, n_tiles, pass_b, (jnp.zeros((bu,), jnp.int32), jnp.int32(0))
+    )
+    spill_ref[0, 0] = spill_ref[0, 0] + lost
+
+    # ---- merge: exact top-k over the buffer, ties -> lower global id --------
+    slots = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
+
+    def merge(j, st):
+        bv, bi, out_v, out_i = st
+        m = jnp.max(bv, axis=1)
+        is_m = bv >= m[:, None]
+        gid = jnp.min(jnp.where(is_m, bi, big_id), axis=1)
+        sel = bi == gid[:, None]                                # gids unique
+        out_v = jnp.where(slots == j, m[:, None], out_v)
+        out_i = jnp.where(slots == j, gid[:, None], out_i)
+        bv = jnp.where(sel, -jnp.inf, bv)
+        return bv, bi, out_v, out_i
+
+    init = (
+        bv_scr[:], bi_scr[:],
+        jnp.full((bu, k), -jnp.inf, jnp.float32),
+        jnp.zeros((bu, k), jnp.int32),
+    )
+    _, _, v_fin, i_fin = jax.lax.fori_loop(0, k, merge, init)
+    topv_ref[:] = v_fin
+    topi_ref[:] = i_fin
+
+
 def _fused_kernel_subtile(
     eu_ref, ei_ref, topv_ref, topi_ref, v_scr, i_scr,
     *, k: int, item_tile: int, sub: int,
@@ -233,6 +377,57 @@ def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int)
     topi_ref[:] = i_fin
 
 
+def _twopass_call(eu, ei, k, user_tile, item_tile, interpret, block=128, cbuf=128):
+    """pallas_call wrapper for the two-pass kernel + exactness fallback.
+
+    The kernel reports per-user-tile buffer-saturation counts; on any spill
+    (pathological tie mass) a `lax.cond` switches the whole batch to the XLA
+    exact path, so results equal `lax.top_k` on ARBITRARY inputs."""
+    u, d = eu.shape
+    n, _ = ei.shape
+    nb = n // block
+    assert n % block == 0 and nb >= k and k <= cbuf
+    grid = (u // user_tile,)
+    kernel = functools.partial(
+        _fused_kernel_twopass, k=k, item_tile=item_tile, cbuf=cbuf, block=block,
+    )
+    topv, topi, spill = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((user_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u, k), jnp.float32),
+            jax.ShapeDtypeStruct((u, k), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((user_tile, cbuf), jnp.float32),
+            pltpu.VMEM((user_tile, cbuf), jnp.int32),
+        ],
+        interpret=interpret,
+    )(eu, ei)
+
+    def fallback(_):
+        from serendipity_tpu.ops.topk import topk_exact_2stage
+
+        scores = jax.lax.dot_general(
+            eu, ei, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return topk_exact_2stage(scores, k)
+
+    return jax.lax.cond(
+        jnp.max(spill) > 0, fallback, lambda _: (topv, topi), None
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "user_tile", "item_tile", "sub_tile", "interpret", "variant"),
@@ -256,6 +451,8 @@ def fused_score_topk(
     item_tile = min(item_tile, n)
     assert u % user_tile == 0 and n % item_tile == 0
     grid = (u // user_tile,)
+    if variant == "twopass":
+        return _twopass_call(eu, ei, k, user_tile, item_tile, interpret)
     scratch = []
     if variant == "subtile":
         sub_tile = min(sub_tile, item_tile)

@@ -123,6 +123,61 @@ def _chamfer_pair(
     return jnp.stack([ab, ba], axis=1)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _ideal_avg_linkage_batch(recs, en_items, f_mn, rng_inv, k):
+    """[B] best mean total linkage (`utils.py:355-363`): linkage is affine in the
+    item embedding, so the whole normalizer is one matmul + exact top-k."""
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    rec_sum = jnp.sum(en_items[recs], axis=1)                 # [B, D]
+    lin = (k - rec_sum @ en_items.T) * 0.5                    # sum of raw distances
+    lin_n = (lin - k * f_mn) * rng_inv                        # sum of normalized
+    top, _ = topk_exact_2stage(lin_n, k)
+    return jnp.sum(top, axis=1) / k
+
+
+@partial(jax.jit, static_argnames=("k", "block", "n_real"))
+def _ideal_min_cos_diff_batch(recs, en_items, f_mn, rng_inv, k, block, n_real):
+    """[B] `find_max_min_cosDiff` DP (`utils.py:365-382`) vmapped over users.
+
+    State per user: dp [k+1] best sums-of-minima, md [k+1, krec] running minima.
+    Items advance sequentially (fori over blocks, fori within a block, matmul per
+    block on the MXU); the j-transitions are unrolled (k is small).  The
+    reference's `j <= i+1` cap (can't pick j items from fewer than j seen) is a
+    traced gate, and catalog padding is gated by `n_real`."""
+    bu, krec = recs.shape
+    n_pad, d = en_items.shape
+    en_rec = en_items[recs]                                   # [B, krec, D]
+    dp0 = jnp.zeros((bu, k + 1), jnp.float32)
+    md0 = jnp.full((bu, k + 1, krec), 1e6, jnp.float32)
+
+    def blk_body(bi, st):
+        dp, md = st
+        eb = jax.lax.dynamic_slice(en_items, (bi * block, 0), (block, d))
+        dblk = jnp.einsum(
+            "ukd,bd->ukb", en_rec, eb, preferred_element_type=jnp.float32
+        )
+        dblk = ((1.0 - dblk) * 0.5 - f_mn) * rng_inv          # normalized distance
+
+        def item_body(t, st2):
+            dp, md = st2
+            gi = bi * block + t                               # global item index
+            d_i = jax.lax.dynamic_index_in_dim(dblk, t, axis=2, keepdims=False)
+            live = gi < n_real
+            for j in range(k, 0, -1):
+                cand = jnp.minimum(md[:, j - 1], d_i)
+                s = jnp.sum(cand, axis=1)
+                upd = (s > dp[:, j]) & (j <= gi + 1) & live
+                dp = dp.at[:, j].set(jnp.where(upd, s, dp[:, j]))
+                md = md.at[:, j].set(jnp.where(upd[:, None], cand, md[:, j]))
+            return dp, md
+
+        return jax.lax.fori_loop(0, block, item_body, (dp, md))
+
+    dp, _ = jax.lax.fori_loop(0, n_pad // block, blk_body, (dp0, md0))
+    return dp[:, k] / k
+
+
 @jax.jit
 def _mean_dist_pair(
     ra: jnp.ndarray, rb: jnp.ndarray, en_dev: jnp.ndarray,
@@ -395,12 +450,14 @@ class SerendipityEvaluator:
 
     def _norm_cos_minmax(self) -> Tuple[float, float]:
         """Global min/max of the normalized cosine-distance matrix
-        (1 - cos)/2 over all item pairs (`utils.py:496-498`)."""
-        ei = self.emb_item
-        norms = np.linalg.norm(ei, axis=1)
-        en = ei / np.maximum(norms, 1e-12)[:, None]
-        mn, mx = item_item_minmax(en)   # min/max of cosine similarity
-        return (1.0 - mx) / 2.0, (1.0 - mn) / 2.0
+        (1 - cos)/2 over all item pairs (`utils.py:496-498`); blocked + cached."""
+        if getattr(self, "_cos_minmax", None) is None:
+            ei = self.emb_item
+            norms = np.linalg.norm(ei, axis=1)
+            en = ei / np.maximum(norms, 1e-12)[:, None]
+            mn, mx = item_item_minmax(en)   # min/max of cosine similarity
+            self._cos_minmax = ((1.0 - mx) / 2.0, (1.0 - mn) / 2.0)
+        return self._cos_minmax
 
     def disentanglement_pair(
         self,
@@ -445,6 +502,71 @@ class SerendipityEvaluator:
         return res / n_u
 
     # ---- ideal-max normalizers (`utils.py:349-382`) -------------------------
+    #
+    # Two tiers: the host `max_average_linkage` / `max_min_cos_diff` static
+    # methods are direct transliterations of the reference DP (kept as the
+    # differential oracle for tests), and the `ideal_*_all` methods below are the
+    # production path — device-batched over ALL users, never materializing the
+    # N x N item-distance matrix (33 GB at amazon-book scale on the host).
+
+    def ideal_avg_linkage_all(self, recs: np.ndarray, batch: int = 2048) -> np.ndarray:
+        """[U] best-possible mean total linkage per rec list, on device.
+
+        linkage(i) = sum_{a in rec} dist_n(a, i) is affine in en_i:
+        ((k - sum_a en_a . en_i)/2 - k*mn) / rng — one [B, D] @ [D, N] matmul per
+        user batch + an exact top-k, instead of a host N x N materialization.
+        """
+        f_mn, f_mx = self._norm_cos_minmax()
+        en = self._normed_items()
+        k = recs.shape[1]
+        out = np.empty(recs.shape[0], np.float32)
+        for s in range(0, recs.shape[0], batch):
+            r = jnp.asarray(recs[s:s + batch])
+            out[s:s + batch] = np.asarray(
+                _ideal_avg_linkage_batch(
+                    r, en, jnp.float32(f_mn),
+                    jnp.float32(1.0 / max(f_mx - f_mn, 1e-12)), k=k,
+                )
+            )
+        return out
+
+    def ideal_min_cos_diff_all(
+        self, recs: np.ndarray, batch: int = 8192, item_block: int = 512
+    ) -> np.ndarray:
+        """[U] `find_max_min_cosDiff` (`utils.py:365-382`) for every rec list at
+        once: the sequential greedy DP runs as a `lax.fori_loop` over catalog
+        blocks with the per-user DP state vmapped across the batch dimension —
+        the catalog axis stays sequential (the recurrence demands it) but all
+        users advance in lockstep on the VPU."""
+        f_mn, f_mx = self._norm_cos_minmax()
+        en = self._normed_items()
+        n = en.shape[0]
+        pad = (-n) % item_block
+        if pad:
+            # padded items sit at distance ((1-0)/2 - mn)/rng from everything;
+            # gate them out with the true item count inside the kernel
+            en_p = jnp.concatenate([en, jnp.zeros((pad, en.shape[1]), en.dtype)])
+        else:
+            en_p = en
+        k = recs.shape[1]
+        out = np.empty(recs.shape[0], np.float32)
+        for s in range(0, recs.shape[0], batch):
+            r = jnp.asarray(recs[s:s + batch])
+            out[s:s + batch] = np.asarray(
+                _ideal_min_cos_diff_batch(
+                    r, en_p, jnp.float32(f_mn),
+                    jnp.float32(1.0 / max(f_mx - f_mn, 1e-12)),
+                    k=k, block=item_block, n_real=n,
+                )
+            )
+        return out
+
+    def _normed_items(self) -> jnp.ndarray:
+        if self._en_dev is None:
+            ei = self.emb_item
+            en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+            self._en_dev = jnp.asarray(en.astype(np.float32))
+        return self._en_dev
 
     @staticmethod
     def max_average_linkage(rec: np.ndarray, pair_dist: np.ndarray, k: int) -> float:
@@ -476,6 +598,22 @@ class SerendipityEvaluator:
                     min_diff[j] = cand
         return float(dp[kk] / k)
 
+    def _ideal_norms(self, rec: np.ndarray, metric: str) -> np.ndarray:
+        """Per-list ideal normalizers, cached by rec-list content (the same list
+        recurs across every pair of a disentanglement matrix)."""
+        import hashlib
+
+        key = (metric, hashlib.sha1(np.ascontiguousarray(rec)).hexdigest())
+        cache = getattr(self, "_ideal_cache", None)
+        if cache is None:
+            cache = self._ideal_cache = {}
+        if key not in cache:
+            if metric.endswith("diff"):
+                cache[key] = self.ideal_min_cos_diff_all(rec)
+            else:
+                cache[key] = self.ideal_avg_linkage_all(rec)
+        return cache[key]
+
     def disentanglement_pair_ideal(
         self,
         rec_a: np.ndarray,
@@ -485,25 +623,14 @@ class SerendipityEvaluator:
     ) -> float:
         """`idealMaxDistNorm` variants (`utils.py:417-437, 452-468`): per-user
         chamfer (diff) or mean (avgLink) distances normalized by each list's
-        ideal-maximum achievable value over the whole catalog."""
-        ei = self.emb_item
-        en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
-        full = (1.0 - en @ en.T) / 2.0
-        f_mn, f_mx = full.min(), full.max()
-        full_n = (full - f_mn) / max(f_mx - f_mn, 1e-12)
-
-        pair = self.disentanglement_pair(rec_a, rec_b, f_mn, f_mx, eps=eps)
-        k = rec_a.shape[1]
+        ideal-maximum achievable value over the whole catalog.  Fully blocked /
+        on-device — no N x N host matrix — so it runs at gowalla+ scales."""
+        f_mn, f_mx = self._norm_cos_minmax()
         if metric.endswith("diff"):
+            pair = self.disentanglement_pair(rec_a, rec_b, f_mn, f_mx, eps=eps)
             ab, ba = pair[:, 0], pair[:, 1]
-            ideal_a = np.array(
-                [self.max_min_cos_diff(r, full_n, k) for r in rec_a]
-            )
-            ideal_b = np.array(
-                [self.max_min_cos_diff(r, full_n, k) for r in rec_b]
-            )
         else:  # avgLink
-            en_dev = jnp.asarray(en.astype(np.float32))
+            en_dev = self._normed_items()
             ab = np.asarray(
                 _mean_dist_pair(
                     jnp.asarray(rec_a), jnp.asarray(rec_b), en_dev,
@@ -511,12 +638,8 @@ class SerendipityEvaluator:
                 )
             )
             ba = ab
-            ideal_a = np.array(
-                [self.max_average_linkage(r, full_n, k) for r in rec_a]
-            )
-            ideal_b = np.array(
-                [self.max_average_linkage(r, full_n, k) for r in rec_b]
-            )
+        ideal_a = self._ideal_norms(rec_a, metric)
+        ideal_b = self._ideal_norms(rec_b, metric)
         vals = (
             ab / np.maximum(ideal_a, 1e-12) + ba / np.maximum(ideal_b, 1e-12)
         ) / 2.0
@@ -524,15 +647,29 @@ class SerendipityEvaluator:
 
     @staticmethod
     def jaccard_matrix(recs: Dict[str, np.ndarray], methods: Sequence[str]) -> np.ndarray:
-        """Mean per-user Jaccard distance between rec lists (`utils.py:344-348`)."""
+        """Mean per-user Jaccard distance between rec lists (`utils.py:344-348`),
+        vectorized: rows are disambiguated with a per-row id offset, per-row SET
+        sizes come from sorted-run counts, and the intersection is a sorted
+        membership test (`np.isin`) on the first occurrence of each value —
+        exact set semantics without per-user Python sets."""
         m = len(methods)
         out = np.zeros((m, m))
+        mats = [np.asarray(recs[meth], dtype=np.int64) for meth in methods]
+        big = max(int(a.max(initial=0)) for a in mats) + 1
+        offs = [
+            a + np.arange(a.shape[0], dtype=np.int64)[:, None] * big for a in mats
+        ]
+        sorts = [np.sort(a, axis=1) for a in offs]
+        firsts = [
+            np.concatenate(
+                [np.ones((s.shape[0], 1), bool), np.diff(s, axis=1) != 0], axis=1
+            )
+            for s in sorts
+        ]
+        sizes = [f.sum(axis=1) for f in firsts]
         for i in range(m):
-            for j in range(m):
-                a, b = recs[methods[i]], recs[methods[j]]
-                dists = []
-                for ra, rb in zip(a, b):
-                    sa, sb = set(ra.tolist()), set(rb.tolist())
-                    dists.append(1.0 - len(sa & sb) / len(sa | sb))
-                out[i, j] = np.mean(dists)
+            for j in range(i, m):
+                inter = (np.isin(sorts[i], offs[j]) & firsts[i]).sum(axis=1)
+                union = sizes[i] + sizes[j] - inter
+                out[i, j] = out[j, i] = np.mean(1.0 - inter / union)
         return out

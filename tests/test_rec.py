@@ -430,3 +430,43 @@ def test_div_fusion_relevance_conditioning_effective():
     heavy = dpp_rerank(cand, ei, k, rel_scores=rel * 10, div_weight=0.5, rel_factor=1.0)
     top1_pos = np.array([np.where(cand[r] == heavy[r, 0])[0][0] for r in range(8)])
     np.testing.assert_array_equal(top1_pos, rel.argmax(1))
+
+
+def test_ideal_normalizers_device_vs_host(setup):
+    """Device-batched ideal normalizers must match the host DP transliteration
+    (the differential oracle) on the full N x N matrix path."""
+    tiny, eu, ei, cfg, cand = setup
+    ev = SerendipityEvaluator(tiny, ei, user_block=32)
+    en = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
+    full = (1.0 - en @ en.T) / 2.0
+    f_mn, f_mx = ev._norm_cos_minmax()
+    full_n = (full - f_mn) / max(f_mx - f_mn, 1e-12)
+    recs = cand[:8, :5].astype(np.int32)
+    k = recs.shape[1]
+    host_avg = np.array([ev.max_average_linkage(r, full_n, k) for r in recs])
+    host_dp = np.array([ev.max_min_cos_diff(r, full_n, k) for r in recs])
+    dev_avg = ev.ideal_avg_linkage_all(recs)
+    dev_dp = ev.ideal_min_cos_diff_all(recs, item_block=128)
+    np.testing.assert_allclose(dev_avg, host_avg, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dev_dp, host_dp, rtol=1e-4, atol=1e-5)
+
+
+def test_jaccard_matrix_vs_sets(setup):
+    """Vectorized Jaccard must equal the per-user set formula, incl. duplicates."""
+    tiny, eu, ei, cfg, cand = setup
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 50, (16, 8))
+    b = rng.integers(0, 50, (16, 8))
+    a[3, :4] = 7  # force duplicates inside a row
+    recs = {"x": a, "y": b}
+    got = SerendipityEvaluator.jaccard_matrix(recs, ["x", "y"])
+    exp = np.zeros((2, 2))
+    mats = [a, b]
+    for i in range(2):
+        for j in range(2):
+            ds = [
+                1.0 - len(set(ra) & set(rb)) / len(set(ra) | set(rb))
+                for ra, rb in zip(mats[i].tolist(), mats[j].tolist())
+            ]
+            exp[i, j] = np.mean(ds)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
