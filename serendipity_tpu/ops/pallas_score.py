@@ -100,7 +100,6 @@ def _fused_kernel_insert(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_til
 
 def _fused_kernel_twopass(
     eu_ref, ei_ref, topv_ref, topi_ref, spill_ref,
-    bv_scr, bi_scr,
     *, k: int, item_tile: int, cbuf: int, block: int = 128,
 ):
     """Two-pass exact top-k: threshold first, then collect only real candidates.
@@ -183,38 +182,48 @@ def _fused_kernel_twopass(
     tau = v_bm[:, k - 1]
 
     # ---- pass B: collect all entries >= tau ---------------------------------
-    bv_scr[:] = jnp.full((bu, cbuf), -jnp.inf, jnp.float32)
-    bi_scr[:] = jnp.full((bu, cbuf), big_id, jnp.int32)
-
     def pass_b(t, st):
-        c_u, lost = st                                          # [bu] i32, [] i32-ish
+        c_u, lost, bv, bi = st
         s = score_tile(t)
         ids = cols + t * item_tile
-        cand = s >= tau[:, None]
-        cnt = jnp.sum(cand.astype(jnp.int32), axis=1)           # [bu]
-        n_trips = jnp.max(cnt)
+        # candidate set carried as a masked f32 array (vector bool carries do
+        # not legalize through Mosaic's while lowering)
+        wv0 = jnp.where(s >= tau[:, None], s, -jnp.inf)
 
-        def trip(_, st2):
-            c_u, lost, cand = st2
+        def trip_cond(st2):
+            _, _, wv, _, _ = st2
+            return jnp.max(wv) > -jnp.inf
+
+        def trip(st2):
+            c_u, lost, wv, bv, bi = st2
+            cand = wv > -jnp.inf
             am = jnp.min(jnp.where(cand, cols, big), axis=1)    # [bu]
             has = am < big
-            sel = (cols == am[:, None]) & cand
-            val = jnp.max(jnp.where(sel, s, -jnp.inf), axis=1)
+            sel = cols == am[:, None]
+            val = jnp.max(jnp.where(sel, wv, -jnp.inf), axis=1)
             gid = jnp.max(jnp.where(sel, ids, -1), axis=1)
-            cand = cand & ~sel
+            wv = jnp.where(sel, -jnp.inf, wv)
             ok = has & (c_u < cbuf)
             put = ok[:, None] & (colsc == c_u[:, None])
-            bv_scr[:] = jnp.where(put, val[:, None], bv_scr[:])
-            bi_scr[:] = jnp.where(put, gid[:, None], bi_scr[:])
+            bv = jnp.where(put, val[:, None], bv)
+            bi = jnp.where(put, gid[:, None], bi)
             c_u = c_u + ok.astype(jnp.int32)
             lost = lost + jnp.sum((has & ~ok).astype(jnp.int32))
-            return c_u, lost, cand
+            return c_u, lost, wv, bv, bi
 
-        c_u, lost, _ = jax.lax.fori_loop(0, n_trips, trip, (c_u, lost, cand))
-        return c_u, lost
+        c_u, lost, _, bv, bi = jax.lax.while_loop(
+            trip_cond, trip, (c_u, lost, wv0, bv, bi)
+        )
+        return c_u, lost, bv, bi
 
-    _, lost = jax.lax.fori_loop(
-        0, n_tiles, pass_b, (jnp.zeros((bu,), jnp.int32), jnp.int32(0))
+    _, lost, bv_fin, bi_fin = jax.lax.fori_loop(
+        0, n_tiles, pass_b,
+        (
+            jnp.zeros((bu,), jnp.int32),
+            jnp.int32(0),
+            jnp.full((bu, cbuf), -jnp.inf, jnp.float32),
+            jnp.full((bu, cbuf), big_id, jnp.int32),
+        ),
     )
     spill_ref[0, 0] = spill_ref[0, 0] + lost
 
@@ -233,7 +242,7 @@ def _fused_kernel_twopass(
         return bv, bi, out_v, out_i
 
     init = (
-        bv_scr[:], bi_scr[:],
+        bv_fin, bi_fin,
         jnp.full((bu, k), -jnp.inf, jnp.float32),
         jnp.zeros((bu, k), jnp.int32),
     )
@@ -377,7 +386,7 @@ def _fused_kernel(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_tile: int)
     topi_ref[:] = i_fin
 
 
-def _twopass_call(eu, ei, k, user_tile, item_tile, interpret, block=128, cbuf=128):
+def _twopass_call(eu, ei, k, user_tile, item_tile, interpret, block=128, cbuf=64):
     """pallas_call wrapper for the two-pass kernel + exactness fallback.
 
     The kernel reports per-user-tile buffer-saturation counts; on any spill
@@ -407,10 +416,6 @@ def _twopass_call(eu, ei, k, user_tile, item_tile, interpret, block=128, cbuf=12
             jax.ShapeDtypeStruct((u, k), jnp.float32),
             jax.ShapeDtypeStruct((u, k), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((user_tile, cbuf), jnp.float32),
-            pltpu.VMEM((user_tile, cbuf), jnp.int32),
         ],
         interpret=interpret,
     )(eu, ei)

@@ -28,6 +28,10 @@ from serendipity_tpu.utils.timing import timer
 
 METHOD_ORDER = ("rand", "nov", "pop", "qua", "ela", "acc", "div", "dif")
 RESULT_COLUMNS = ("nov", "unpop", "qua", "acc", "dif", "div", "ser1", "ser2")
+SER_LABEL_COLUMNS = (
+    "hr_ser", "ndcg_ser", "hr_ser_glb", "ndcg_ser_glb",
+    "hr_ser_onlypos", "ndcg_ser_onlypos",
+)
 
 
 def run_seed(
@@ -93,6 +97,14 @@ def run_seed(
         results = evaluator.evaluate_methods(recs, candidates=cand)
     methods = [m for m in rcfg.strategies] + fused_names
     mat = evaluator.result_matrix(results, methods)
+    # label-based serendipity columns, present only for serLabel datasets
+    # (`utils.py:144-243`; leave-last-serendipitous-out split)
+    ser_mat = None
+    if inter.test_ser_labels is not None:
+        ser_mat = np.array(
+            [[results[m][c] for c in SER_LABEL_COLUMNS] for m in methods],
+            dtype=np.float64,
+        )
 
     disent = None
     if compute_disentanglement:
@@ -105,6 +117,8 @@ def run_seed(
         for m, r in recs.items():
             np.save(os.path.join(seed_dir, f"rec_{m}.npy"), r)
         np.save(os.path.join(seed_dir, "single_factor_res.npy"), mat)
+        if ser_mat is not None:
+            np.save(os.path.join(seed_dir, "ser_label_res.npy"), ser_mat)
         if disent is not None:
             np.save(os.path.join(seed_dir, "single_factor_disent_dif_mat.npy"), disent)
     return {
@@ -112,6 +126,7 @@ def run_seed(
         "recs": recs,
         "results": results,
         "matrix": mat,
+        "ser_matrix": ser_mat,
         "methods": methods,
         "disentanglement": disent,
     }
@@ -129,7 +144,7 @@ def run_study(
 ) -> Dict:
     """All seeds + mean/std aggregation (`sum_res_all_seed` contract)."""
     evaluator = SerendipityEvaluator(inter, emb_item)
-    mats, disents = [], []
+    mats, ser_mats, disents = [], [], []
     methods = None
     for seed in cfg.rec.seeds:
         log_fn(f"seed {seed} ...")
@@ -141,11 +156,17 @@ def run_study(
         mats.append(res["matrix"])
         log_fn(f"seed {seed} stage walls {timer.dict()}")
         methods = res["methods"]
+        if res["ser_matrix"] is not None:
+            ser_mats.append(res["ser_matrix"])
         if res["disentanglement"] is not None:
             disents.append(res["disentanglement"])
     stack = np.stack(mats, axis=-1)
     mean, std = stack.mean(axis=-1), stack.std(axis=-1)
     out = {"methods": methods, "columns": list(RESULT_COLUMNS), "mean": mean, "std": std}
+    if ser_mats:
+        sstack = np.stack(ser_mats, axis=-1)
+        out["ser_columns"] = list(SER_LABEL_COLUMNS)
+        out["ser_mean"], out["ser_std"] = sstack.mean(-1), sstack.std(-1)
     if disents:
         out["disent_mean"] = np.stack(disents, -1).mean(-1)
     if out_dir:
@@ -153,19 +174,24 @@ def run_study(
         os.makedirs(res_dir, exist_ok=True)
         np.save(os.path.join(res_dir, "single_factor_res_mean.npy"), mean)
         np.save(os.path.join(res_dir, "single_factor_res_std.npy"), std)
+        if ser_mats:
+            np.save(os.path.join(res_dir, "ser_label_res_mean.npy"), out["ser_mean"])
+            np.save(os.path.join(res_dir, "ser_label_res_std.npy"), out["ser_std"])
         if disents:
             np.save(
                 os.path.join(res_dir, "single_factor_disent_dif_mat.npy"),
                 out["disent_mean"],
             )
         with open(os.path.join(res_dir, "summary.json"), "w") as f:
-            json.dump(
-                {
-                    "methods": methods,
-                    "columns": list(RESULT_COLUMNS),
-                    "mean": mean.tolist(),
-                    "std": std.tolist(),
-                },
-                f, indent=2,
-            )
+            summary = {
+                "methods": methods,
+                "columns": list(RESULT_COLUMNS),
+                "mean": mean.tolist(),
+                "std": std.tolist(),
+            }
+            if ser_mats:
+                summary["ser_columns"] = list(SER_LABEL_COLUMNS)
+                summary["ser_mean"] = out["ser_mean"].tolist()
+                summary["ser_std"] = out["ser_std"].tolist()
+            json.dump(summary, f, indent=2)
     return out

@@ -426,6 +426,7 @@ class SerendipityEvaluator:
             float(np.max(exclude_outliers(d.reshape(-1)))) for d in difs.values()
         )
 
+        labeled = self.inter.test_ser_labels is not None
         results: Dict[str, Dict[str, float]] = {}
         for m, rec in recs.items():
             a = accs[m] / max(acc_max, 1e-12)
@@ -435,6 +436,16 @@ class SerendipityEvaluator:
             row["dif"] = float(d.mean())
             row["ser1"] = self.ser1_from_acc_dif(a, d)
             row["ser2"] = self.ser2(rec, pm)
+            if labeled:
+                # label-based serendipity columns (`utils.py:144-243`), with the
+                # reference's soft-negative (glb_ser_score=0.5) and only_pos
+                # variants surfaced alongside the hard-label defaults
+                row["hr_ser"] = self.hr_ser(rec)
+                row["ndcg_ser"] = self.ndcg_ser(rec)
+                row["hr_ser_glb"] = self.hr_ser(rec, glb_ser_score=0.5)
+                row["ndcg_ser_glb"] = self.ndcg_ser(rec, glb_ser_score=0.5)
+                row["hr_ser_onlypos"] = self.hr_ser(rec, only_pos=True)
+                row["ndcg_ser_onlypos"] = self.ndcg_ser(rec, only_pos=True)
             results[m] = row
         return results
 

@@ -26,6 +26,11 @@ from serendipity_tpu.train.evaluator import Evaluator
 
 def load_dataset(cfg: ExperimentConfig) -> Interactions:
     path = cfg.data.path
+    # prefer the serendipity CSV schema when present: it carries strictly more
+    # information than the adjacency lists (ratings, timestamps, serLabels —
+    # needed for HR_ser/NDCG_ser and the quality/novelty factors)
+    if os.path.exists(os.path.join(path, "rating_train.csv")):
+        return load_serendipity_csv(path)
     if os.path.exists(os.path.join(path, "train.txt")):
         return load_adjacency_list(path)
     return load_serendipity_csv(path)

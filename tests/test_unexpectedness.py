@@ -70,3 +70,43 @@ def test_synthetic_interactions():
     # popularity skew: top 10% of items cover > 30% of interactions
     ic = np.sort(np.diff(inter.train_indptr_by_item))[::-1]
     assert ic[: len(ic) // 10].sum() > 0.3 * ic.sum()
+
+
+def test_cooccurrence_topk_matches_dense(tiny_inter):
+    """With T >= n_items the truncated lists are exact; the topk scorer must
+    reproduce the dense scorer bit-for-bit in that regime."""
+    from serendipity_tpu.rec.unexpectedness import (
+        cooccurrence_dense, cooccurrence_topk, unexpectedness_scores,
+    )
+    import numpy as np
+
+    dense = cooccurrence_dense(tiny_inter)
+    idx, cnt = cooccurrence_topk(tiny_inter, top_t=tiny_inter.n_items,
+                                 item_block=16, edge_chunk=32)
+    # reconstruct dense from the lists
+    rec = np.zeros_like(dense)
+    rows = np.repeat(np.arange(tiny_inter.n_items), idx.shape[1])
+    mask = idx.reshape(-1) < tiny_inter.n_items
+    rec[rows[mask], idx.reshape(-1)[mask]] = cnt.reshape(-1)[mask]
+    np.testing.assert_allclose(rec, dense, atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    cand = rng.integers(0, tiny_inter.n_items, (tiny_inter.n_users, 12)).astype(np.int32)
+    s_dense = unexpectedness_scores(tiny_inter, cand, dense)
+    s_topk = unexpectedness_scores(tiny_inter, cand, (idx, cnt))
+    np.testing.assert_allclose(s_topk, s_dense, rtol=1e-5, atol=1e-6)
+
+
+def test_cooccurrence_topk_truncated_monotone(tiny_inter):
+    """Small T keeps the largest counts: reconstructed entries are a subset of
+    the dense matrix with per-row maxima preserved."""
+    from serendipity_tpu.rec.unexpectedness import cooccurrence_dense, cooccurrence_topk
+    import numpy as np
+
+    dense = cooccurrence_dense(tiny_inter)
+    t = 4
+    idx, cnt = cooccurrence_topk(tiny_inter, top_t=t, item_block=16, edge_chunk=32)
+    for i in range(tiny_inter.n_items):
+        kept = cnt[i][idx[i] < tiny_inter.n_items]
+        expect = np.sort(dense[i])[-t:]
+        np.testing.assert_allclose(np.sort(kept), expect[expect > 0][-len(kept):] if len(kept) else [], atol=1e-6)
