@@ -88,6 +88,10 @@ def cmd_pipeline(args) -> None:
 
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
+    if getattr(args, "synth_metadata", False):
+        from serendipity_tpu.data.datasets import synthesize_item_metadata
+
+        synthesize_item_metadata(inter, seed=cfg.train.seed)
     if args.embeddings:
         emb_u, emb_i = _load_embedding_pair(args.embeddings)
     else:
@@ -205,6 +209,11 @@ def main(argv=None) -> None:
         help='two-factor weight sweep "acc,div" -> w/(1-w) for w in 0.1..0.9',
     )
     sp.add_argument("--disentanglement", action="store_true")
+    sp.add_argument(
+        "--synth-metadata", action="store_true", dest="synth_metadata",
+        help="fill missing item dates/ratings with seeded synthetic values "
+             "(metadata-less fixtures like the bundled mlls)",
+    )
     sp.add_argument("overrides", nargs="*")
     sp.set_defaults(fn=cmd_pipeline)
 

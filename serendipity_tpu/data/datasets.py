@@ -242,6 +242,28 @@ def load_serendipity_csv(path: str) -> Interactions:
     return inter
 
 
+def synthesize_item_metadata(inter: Interactions, seed: int = 0) -> None:
+    """Fill MISSING item metadata (dates, mean ratings) with seeded synthetic
+    values; counts always derive from real train degrees.
+
+    The reference's serendipity studies run on datasets whose `item.csv` carries
+    release dates and rating averages (`generateSerData`); the bundled `mlls`
+    adjacency lists carry neither, which would zero the nov/qua factor columns.
+    This makes the full 8-column study exercisable on metadata-less fixtures —
+    clearly synthetic, deterministic, and opt-in (`pipeline --synth-metadata`).
+    """
+    rng = np.random.default_rng(seed)
+    counts = np.diff(inter.train_indptr_by_item).astype(np.float64)
+    if inter.item_counts is None:
+        inter.item_counts = counts
+    if inter.item_dates is None:
+        inter.item_dates = rng.uniform(0.0, 1.0, inter.n_items)
+    if inter.item_mean_ratings is None:
+        inter.item_mean_ratings = np.clip(
+            rng.normal(3.5, 0.6, inter.n_items), 1.0, 5.0
+        )
+
+
 def sparsity_split(
     inter: Interactions, n_folds: int = 4
 ) -> Tuple[List[np.ndarray], List[str]]:
