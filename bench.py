@@ -6,10 +6,11 @@ path of the reference's candidate generation + accuracy strategy (`recommend.py:
 (29,856 users x 40,960 items x 64 dims).
 
 Implementation: the Pallas fused kernel (`serendipity_tpu.ops.pallas_score`,
-"insert" variant: thresholded dynamic-trip extraction) — bf16 MXU matmul with the
-score tile kept in VMEM and an exact sorted running top-k; measured ~4x the XLA
-exact-2-stage path (itself ~10x faster than `lax.top_k`'s full sort) with
-bit-identical results.
+"twopass" variant: per-row exact admission threshold from block maxima, then
+collect-only extraction of the ~k+O(k) true candidates) — bf16 MXU matmuls with
+the score tile kept in VMEM; bit-identical to `lax.top_k` (tie-spill fallback for
+pathological inputs).  Measured 34.7 Gscores/s on v5e vs 23.4 for the round-1
+"insert" streaming kernel and ~6 for the XLA exact-2-stage path.
 
 Timing: sustained throughput — PASSES=8 full scoring passes per dispatch (inputs
 perturbed per pass so XLA cannot CSE them), one host round-trip + scalar fetch per

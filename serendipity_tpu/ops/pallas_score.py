@@ -6,15 +6,22 @@ Motivation (measured on v5e at gowalla scale, 29856 x 40960 x 64):
     written + re-read) and run sort-based selection — `lax.top_k` ~120 ms, the
     chunked exact 2-stage ~100+ ms.
 
-This kernel streams item tiles through VMEM and maintains a running exact top-k per
-user row — position-indexed masking, so ties are handled exactly.  The score tile
-never leaves VMEM: HBM traffic collapses to reading the two embedding tables plus
-writing [U, K] results.  Two variants, bit-identical outputs:
+This kernel streams item tiles through VMEM and selects exactly — position-indexed
+masking, so ties are handled identically to `lax.top_k`.  The score tile never
+leaves VMEM: HBM traffic collapses to reading the two embedding tables plus
+writing [U, K] results.  Variants, bit-identical outputs (v5e, gowalla shape):
 
-  * "insert" (default): sorted running top-k whose k-th column is a per-row
-    admission threshold; a dynamic `while_loop` per item tile extracts maxima only
-    while some row still beats its threshold.  Measured 52 ms device time at
-    gowalla scale on v5e (23.5 Gscores/s sustained) — 2x "extract".
+  * "twopass" (default, 34.7 Gscores/s): pass A computes per-row 128-block score
+    maxima; tau = k-th largest block max is a provably-valid admission bound, so
+    pass B re-scores (matmuls are ~2% of budget) and extracts ONLY the ~k+O(k)
+    true candidates — no threshold warmup at all.  Tie-heavy pathologies that
+    overflow the collect buffer fall back to the XLA exact path via a spill flag.
+  * "insert" (23.4 Gscores/s): sorted running top-k whose k-th column is a
+    per-row admission threshold; a dynamic `while_loop` per item tile extracts
+    maxima only while some row still beats its threshold.
+  * "subtile": `pl.when`-gated per-sub-block extraction — measured SLOWER than
+    insert at every sub-block width (scalar gating + any()-reductions cost more
+    than the skipped vector work); kept as the negative result.
   * "extract": fixed k passes of (max, argmax, mask) per item tile.
 
 Layout: grid over user tiles; the item table is a single VMEM-resident block
@@ -99,7 +106,7 @@ def _fused_kernel_insert(eu_ref, ei_ref, topv_ref, topi_ref, *, k: int, item_til
 
 
 def _fused_kernel_twopass(
-    eu_ref, ei_ref, topv_ref, topi_ref, spill_ref,
+    eu_ref, ei_ref, topv_ref, topi_ref, spill_ref, bm_scr,
     *, k: int, item_tile: int, cbuf: int, block: int = 128,
 ):
     """Two-pass exact top-k: threshold first, then collect only real candidates.
@@ -144,44 +151,44 @@ def _fused_kernel_twopass(
             preferred_element_type=jnp.float32,
         )
 
-    # ---- pass A: running top-k of block maxima -> tau ------------------------
-    # Per tile, stack the nb_tile block maxima (registers only — dynamic lane
-    # stores are not Mosaic-provable) and fold them into a running top-k with a
-    # fixed k-pass extraction over the narrow [bu, k + nb_tile] concat.
-    colsw = jax.lax.broadcasted_iota(jnp.int32, (bu, k + nb_tile), 1)
-    slots_k = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
-
-    def pass_a(t, v_bm):
+    # ---- pass A: all block maxima -> tau -------------------------------------
+    # The tile loop is UNROLLED in Python so the per-tile block-maxima stores hit
+    # the scratch at STATIC lane offsets (Mosaic requires provable multiples of
+    # 128 for dynamic lane stores); a tile's nb_tile maxima land as one
+    # [bu, nb_pad]-column chunk.  One k-pass extraction then yields tau = the
+    # k-th largest block max per row.
+    nb_total = n_tiles * nb_tile
+    nb_pad = bm_scr.shape[1]
+    bm_scr[:] = jnp.full((bu, nb_pad), -jnp.inf, jnp.float32)
+    for t in range(n_tiles):                                    # static unroll
         s = score_tile(t)
         bm = jnp.stack(
             [jnp.max(s[:, b * block:(b + 1) * block], axis=1)
              for b in range(nb_tile)],
             axis=1,
         )                                                       # [bu, nb_tile]
-        work = jnp.concatenate([v_bm, bm], axis=1)
+        bm_scr[:, t * nb_tile:(t + 1) * nb_tile] = bm
 
-        def extract(j, st):
-            w, out = st
-            m = jnp.max(w, axis=1)
-            am = jnp.min(
-                jnp.where(w >= m[:, None], colsw, jnp.int32(k + nb_tile + 1)),
-                axis=1,
-            )
-            w = jnp.where(colsw == am[:, None], -jnp.inf, w)
-            out = jnp.where(slots_k == j, m[:, None], out)
-            return w, out
+    colsw = jax.lax.broadcasted_iota(jnp.int32, (bu, nb_pad), 1)
 
-        _, v_bm = jax.lax.fori_loop(
-            0, k, extract, (work, jnp.full((bu, k), -jnp.inf, jnp.float32))
+    def tau_extract(j, st):
+        w, _ = st
+        m = jnp.max(w, axis=1)
+        am = jnp.min(
+            jnp.where(w >= m[:, None], colsw, jnp.int32(nb_pad + 1)), axis=1
         )
-        return v_bm
+        w = jnp.where(colsw == am[:, None], -jnp.inf, w)
+        return w, m
 
-    v_bm = jax.lax.fori_loop(
-        0, n_tiles, pass_a, jnp.full((bu, k), -jnp.inf, jnp.float32)
+    _, tau = jax.lax.fori_loop(
+        0, k, tau_extract, (bm_scr[:], jnp.zeros((bu,), jnp.float32))
     )
-    tau = v_bm[:, k - 1]
 
     # ---- pass B: collect all entries >= tau ---------------------------------
+    # Single extraction per trip with a full-width cond proved fastest on v5e
+    # (measured: 2-per-trip unroll with a count-bounded scalar cond regressed
+    # 34.7 -> 25.7 Gscores/s — wasted second extractions cost more than the
+    # per-trip reduce they replace).
     def pass_b(t, st):
         c_u, lost, bv, bi = st
         s = score_tile(t)
@@ -417,6 +424,9 @@ def _twopass_call(eu, ei, k, user_tile, item_tile, interpret, block=128, cbuf=64
             jax.ShapeDtypeStruct((u, k), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((user_tile, ((n // block + 127) // 128) * 128), jnp.float32),
+        ],
         interpret=interpret,
     )(eu, ei)
 
@@ -445,8 +455,11 @@ def fused_score_topk(
     item_tile: int = 2048,   # swept on v5e: 2048 > 1024 ~ 512; 512-wide user tiles regress
     sub_tile: int = 256,     # selection sub-block width for the "subtile" variant
     interpret: bool = False,
-    variant: str = "subtile",  # "subtile" (gated sub-block extraction, fastest)
-                               # | "insert" (thresholded while_loop)
+    variant: str = "twopass",  # "twopass" (threshold-then-collect, fastest: 34.7
+                               #   Gscores/s vs insert's 23.4 at gowalla shape)
+                               # | "insert" (thresholded streaming while_loop)
+                               # | "subtile" (pl.when-gated sub-blocks; slower —
+                               #   scalar gating costs more than it saves)
                                # | "extract" (fixed k passes)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(top_scores [U, k] f32, top_item_ids [U, k] i32), exact."""
@@ -457,7 +470,13 @@ def fused_score_topk(
     assert u % user_tile == 0 and n % item_tile == 0
     grid = (u // user_tile,)
     if variant == "twopass":
-        return _twopass_call(eu, ei, k, user_tile, item_tile, interpret)
+        # guard: the threshold construction needs >= k column blocks; small
+        # catalogs use the streaming insert variant instead
+        if n % 128 == 0 and n // 128 >= k and k <= 64:
+            # 1024-wide score tiles measured best for this variant (2048 also
+            # exceeds the 16 MiB scoped-VMEM budget with the tau scratch)
+            return _twopass_call(eu, ei, k, user_tile, min(item_tile, 1024), interpret)
+        variant = "insert"
     scratch = []
     if variant == "subtile":
         sub_tile = min(sub_tile, item_tile)

@@ -8,7 +8,7 @@ import pytest
 from serendipity_tpu.ops.pallas_score import fused_score_topk
 
 
-@pytest.mark.parametrize("variant", ["extract", "insert"])
+@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "subtile"])
 @pytest.mark.parametrize("u,n,k", [(256, 1024, 20), (512, 2048, 10)])
 def test_fused_score_topk_exact(u, n, k, variant):
     rng = np.random.default_rng(0)
@@ -26,7 +26,7 @@ def test_fused_score_topk_exact(u, n, k, variant):
     assert (np.diff(np.asarray(v), axis=1) <= 1e-6).all()
 
 
-@pytest.mark.parametrize("variant", ["extract", "insert"])
+@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "subtile"])
 def test_fused_score_topk_ties(variant):
     """Position-indexed masking must return distinct indices even with ties."""
     u, n, k = 256, 512, 8
