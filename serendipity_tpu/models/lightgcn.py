@@ -78,6 +78,23 @@ class EmbeddingModel:
         self_u = adj.get("self_u")  # adj_type="norm" diagonal, else None
         self_i = adj.get("self_i")
         if self.arch == "lightgcn":
+            if spmm_ops is not None and edge_keep is None and not isinstance(spmm_ops, tuple):
+                # joint-graph form: one SpMM per layer over the stacked
+                # [user; item] table (`ops/spmm_ell.make_joint_spmm`)
+                x = jnp.concatenate([ue, ie], axis=0)
+                selfw = None
+                if self_u is not None:
+                    selfw = jnp.concatenate([self_u, self_i])[:, None]
+                acc, cur = x, x
+                for _ in range(self.n_layers):
+                    nxt = spmm_ops(cur)
+                    if selfw is not None:
+                        nxt = nxt + selfw * cur
+                    cur = nxt
+                    acc = acc + cur
+                inv = 1.0 / (self.n_layers + 1)
+                acc = acc * inv
+                return acc[: self.n_users], acc[self.n_users:]
             if spmm_ops is not None and edge_keep is None:
                 ui_op, iu_op = spmm_ops
                 u_acc, i_acc = ue, ie

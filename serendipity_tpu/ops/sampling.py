@@ -31,8 +31,11 @@ def sample_bpr_batch(
     n_items: int,
     batch_size: int,
     resample_rounds: int = 16,
+    search_iters: int = 0,        # 0 = ceil(log2(n_items)) + 1 (always enough)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (users, pos_items, neg_items), each int32 [batch_size]."""
+    import math
+
     k_user, k_pos, k_neg = jax.random.split(key, 3)
 
     uidx = jax.random.randint(k_user, (batch_size,), 0, valid_users.shape[0])
@@ -47,11 +50,16 @@ def sample_bpr_batch(
     cands = jax.random.randint(
         k_neg, (resample_rounds, batch_size), 0, n_items, dtype=jnp.int32
     )
+    # row segments hold <= n_items sorted entries, so log2(n_items)+1 bisection
+    # steps always converge — the previous fixed 32 wasted ~2/3 of the search
+    if search_iters <= 0:
+        search_iters = int(math.ceil(math.log2(max(n_items, 2)))) + 1
     is_pos = contains_in_rows(
         train_indices,
         jnp.broadcast_to(lo, cands.shape).reshape(-1),
         jnp.broadcast_to(hi, cands.shape).reshape(-1),
         cands.reshape(-1),
+        n_iters=search_iters,
     ).reshape(cands.shape)
     # first non-positive round per slot; if all rounds hit positives keep the last draw
     first_ok = jnp.argmax(~is_pos, axis=0)

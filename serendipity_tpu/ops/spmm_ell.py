@@ -156,3 +156,40 @@ def make_bipartite_spmm(
             inter.n_users, inter.n_items, width,
         )
     return make_spmm(ui, ui_t), make_spmm(iu, iu_t)
+
+
+def make_joint_spmm(
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    width: int = 16,
+) -> Callable:
+    """ONE A_hat-matvec over the joint (U+I) x (U+I) bipartite adjacency —
+    the reference's actual formulation (`dataloader.py:349-364`: the block
+    matrix [[0, R],[R^T, 0]] normalized as a whole).
+
+    x is the concatenated [user; item] embedding stack (users first).  Halves
+    the op count per propagation layer vs the pair form (one gather + one
+    segment-sum instead of two), which XLA schedules better.  The VJP applies
+    the joint transpose (identical layout for the symmetric operators)."""
+    n_u = inter.n_users
+    n = n_u + inter.n_items
+    indptr = np.concatenate([
+        inter.train_indptr,
+        inter.train_indptr[-1] + inter.train_indptr_by_item[1:],
+    ])
+    indices = np.concatenate([
+        inter.train_indices.astype(np.int64) + n_u,
+        inter.train_indices_by_item.astype(np.int64),
+    ])
+    weights = np.concatenate([weights_by_user, weights_by_item])
+    ell = build_ell(indptr, indices, weights, n, n, width)
+    perm, inv = csr_order_perms(inter)
+    if np.array_equal(weights_by_user[perm], weights_by_item):
+        ell_t = ell
+    else:
+        # A^T swaps the off-diagonal blocks: the user-row block carries the
+        # item->user weights read in by-user edge order, and vice versa
+        w_t = np.concatenate([weights_by_item[inv], weights_by_user[perm]])
+        ell_t = build_ell(indptr, indices, w_t, n, n, width)
+    return make_spmm(ell, ell_t)

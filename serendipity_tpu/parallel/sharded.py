@@ -116,6 +116,8 @@ def build_sharded_device_data(
             np.pad(adj_host.self_w_i, (0, ip - inter.n_items)), repl
         )
 
+    from serendipity_tpu.train.device import _search_iters
+
     valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
     data = DeviceData(
         n_users=inter.n_users,
@@ -128,6 +130,7 @@ def build_sharded_device_data(
         test_indptr=jax.device_put(inter.test_indptr.astype(np.int32), repl),
         test_indices=jax.device_put(inter.test_indices.astype(np.int32), repl),
         spmm_ops=spmm_ops,
+        search_iters=_search_iters(inter),
     )
     model = EmbeddingModel(
         arch=cfg.model.arch,
@@ -184,6 +187,7 @@ def build_sharded_train_setup(
         users, pos, neg = sample_bpr_batch(
             k_sample, data.valid_users, data.train_indptr, data.train_indices,
             data.n_items, batch, tcfg.neg_resample_rounds,
+            search_iters=data.search_iters,
         )
         users = jax.lax.with_sharding_constraint(users, batch_sh)
         pos = jax.lax.with_sharding_constraint(pos, batch_sh)

@@ -97,6 +97,7 @@ class BPRTrainer:
                 data.n_items,
                 tcfg.batch_size,
                 tcfg.neg_resample_rounds,
+                search_iters=data.search_iters,
             )
             if self.batch_sharding is not None:
                 users = jax.lax.with_sharding_constraint(users, self.batch_sharding)

@@ -30,6 +30,9 @@ class DeviceData:
     test_indptr: jnp.ndarray
     test_indices: jnp.ndarray
     spmm_ops: object = None              # (ui_op, iu_op) segmented-ELL closures
+    # bisection steps that certainly resolve membership in any user's sorted
+    # train row: ceil(log2(max degree)) + 1 (static, from host data)
+    search_iters: int = 32
 
 
 def build_device_data(
@@ -38,6 +41,7 @@ def build_device_data(
     use_ell: bool = True,
     ell_width: int = 16,
     adj_type: str = "pre",
+    joint: bool = False,
 ) -> DeviceData:
     if adj is None:
         adj = build_normalized_adjacency(inter, adj_type=adj_type)
@@ -55,12 +59,17 @@ def build_device_data(
     valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
     spmm_ops = None
     if use_ell:
-        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm
+        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm, make_joint_spmm
 
         e = adj.n_edges
-        spmm_ops = make_bipartite_spmm(
-            inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
-        )
+        if joint:
+            spmm_ops = make_joint_spmm(
+                inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
+            )
+        else:
+            spmm_ops = make_bipartite_spmm(
+                inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
+            )
     return DeviceData(
         n_users=inter.n_users,
         n_items=inter.n_items,
@@ -72,4 +81,12 @@ def build_device_data(
         test_indptr=jnp.asarray(inter.test_indptr, dtype=jnp.int32),
         test_indices=jnp.asarray(inter.test_indices, dtype=jnp.int32),
         spmm_ops=spmm_ops,
+        search_iters=_search_iters(inter),
     )
+
+
+def _search_iters(inter: Interactions) -> int:
+    import math
+
+    max_deg = int(np.diff(inter.train_indptr).max(initial=1))
+    return int(math.ceil(math.log2(max(max_deg, 2)))) + 1

@@ -71,3 +71,42 @@ def test_build_ell_layout():
     np.testing.assert_array_equal(ell.seg_idx[2], [4, 5, 5, 5])
     np.testing.assert_allclose(ell.seg_w[0], [1, 2, 3, 0])
     np.testing.assert_allclose(ell.seg_w[2], [8, 0, 0, 0])
+
+
+@pytest.mark.parametrize("adj_type", ["pre", "gcmc", "norm"])
+def test_joint_spmm_matches_pair(tiny_inter, adj_type):
+    """Joint (U+I)-stacked propagation must equal the pair form, fwd and grad,
+    for symmetric AND asymmetric operators."""
+    import jax
+    import jax.numpy as jnp
+
+    from serendipity_tpu.config import ExperimentConfig, apply_overrides
+    from serendipity_tpu.models.lightgcn import init_params
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.runner import build_model
+
+    inter = tiny_inter
+    cfg = apply_overrides(
+        ExperimentConfig(),
+        ["model.embed_dim=16", "model.compute_dtype=float32",
+         f"model.adj_type={adj_type}"],
+    )
+    d_pair = build_device_data(inter, adj_type=adj_type, joint=False)
+    d_joint = build_device_data(inter, adj_type=adj_type, joint=True)
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    params = init_params(jax.random.PRNGKey(0), cfg.model, inter.n_users, inter.n_items)
+    up, ip_ = model.propagate(params, d_pair.adj, spmm_ops=d_pair.spmm_ops)
+    uj, ij = model.propagate(params, d_joint.adj, spmm_ops=d_joint.spmm_ops)
+    np.testing.assert_allclose(np.asarray(uj), np.asarray(up), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ij), np.asarray(ip_), rtol=1e-5, atol=1e-6)
+
+    def loss(p, d):
+        au, ai = model.propagate(p, d.adj, spmm_ops=d.spmm_ops)
+        return jnp.sum(au * au) + jnp.sum(ai[:5] ** 3)
+
+    g1 = jax.grad(lambda p: loss(p, d_pair))(params)
+    g2 = jax.grad(lambda p: loss(p, d_joint))(params)
+    for key in g1:
+        np.testing.assert_allclose(
+            np.asarray(g2[key]), np.asarray(g1[key]), rtol=1e-4, atol=1e-5
+        )
