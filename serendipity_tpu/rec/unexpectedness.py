@@ -82,6 +82,9 @@ def cooccurrence_topk(
             "incidence matrix exceeds the device-memory budget; supply "
             "metadata-based co-occurrence (reference also_buy/also_view path)"
         )
+    # the chunk gather materializes [edge_chunk, n_items] in bf16 + f32; keep
+    # that transient around ~1.5 GB so R (up to ~10 GB) still fits beside it
+    edge_chunk = max(512, min(edge_chunk, int(1.5e9 / (n_items * 6))))
     deg_u = np.diff(inter.train_indptr)
     u_of_edge = np.repeat(
         np.arange(n_users, dtype=np.int32), deg_u
@@ -94,9 +97,11 @@ def cooccurrence_topk(
 
     from serendipity_tpu.ops.topk import topk_exact_2stage
 
-    @jax.jit
-    def accum(acc, users_chunk, dst_chunk):
-        part = r[users_chunk].astype(jnp.float32)       # [E, n_items]
+    # r passed explicitly (a jit CLOSURE would embed the multi-GB incidence
+    # matrix as a lowering constant); acc donated so only one block buffer lives
+    @partial(jax.jit, donate_argnums=(1,))
+    def accum(r_arg, acc, users_chunk, dst_chunk):
+        part = r_arg[users_chunk].astype(jnp.float32)   # [E, n_items]
         return acc + jax.ops.segment_sum(
             part, dst_chunk, num_segments=acc.shape[0]
         )
@@ -123,7 +128,7 @@ def cooccurrence_topk(
             users[: ce - cs] = src[cs:ce]
             dst = np.full(edge_chunk, item_block, np.int32)     # dropped pad
             dst[: ce - cs] = dst_local[cs - lo:ce - lo]
-            acc = accum(acc, jnp.asarray(users), jnp.asarray(dst))
+            acc = accum(r, acc, jnp.asarray(users), jnp.asarray(dst))
         cnt, idx = block_topk(acc)
         cnt = np.asarray(cnt[: e - s])
         idx = np.asarray(idx[: e - s])
