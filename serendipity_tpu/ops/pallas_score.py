@@ -184,42 +184,44 @@ def _fused_kernel_twopass(
         0, k, tau_extract, (bm_scr[:], jnp.zeros((bu,), jnp.float32))
     )
 
-    # ---- pass B: collect all entries >= tau ---------------------------------
-    # Single extraction per trip with a full-width cond proved fastest on v5e
-    # (measured: 2-per-trip unroll with a count-bounded scalar cond regressed
-    # 34.7 -> 25.7 Gscores/s — wasted second extractions cost more than the
-    # per-trip reduce they replace).
+    # ---- pass B: collect all entries >= tau, in column order ----------------
+    # Round-2b redesign: a per-row COLUMN CURSOR (`lastc`) replaces the mutated
+    # masked-score workspace.  Candidates are `(s >= tau) & (cols > lastc)`, so
+    #   * the score tile is never mutated (no full-width writeback per trip),
+    #   * the global id is the argmin column itself (no id reduction),
+    #   * loop liveness is a carried scalar (no full-width cond max),
+    # leaving TWO full-width reductions per extracted candidate (min for its
+    # column, one-hot sum for its value) instead of the previous four plus a
+    # [bu, ti] carry.  (Earlier negative result, superseded by this body:
+    # 2-per-trip unroll of the old body regressed 34.7 -> 25.7 Gscores/s.)
     def pass_b(t, st):
         c_u, lost, bv, bi = st
         s = score_tile(t)
-        ids = cols + t * item_tile
-        # candidate set carried as a masked f32 array (vector bool carries do
-        # not legalize through Mosaic's while lowering)
-        wv0 = jnp.where(s >= tau[:, None], s, -jnp.inf)
+        base = t * item_tile
 
         def trip_cond(st2):
-            _, _, wv, _, _ = st2
-            return jnp.max(wv) > -jnp.inf
+            return st2[2] > 0
 
         def trip(st2):
-            c_u, lost, wv, bv, bi = st2
-            cand = wv > -jnp.inf
-            am = jnp.min(jnp.where(cand, cols, big), axis=1)    # [bu]
+            c_u, lost, _, lastc, bv, bi = st2
+            mask = (s >= tau[:, None]) & (cols > lastc[:, None])
+            am = jnp.min(jnp.where(mask, cols, big), axis=1)    # [bu]
             has = am < big
-            sel = cols == am[:, None]
-            val = jnp.max(jnp.where(sel, wv, -jnp.inf), axis=1)
-            gid = jnp.max(jnp.where(sel, ids, -1), axis=1)
-            wv = jnp.where(sel, -jnp.inf, wv)
+            val = jnp.sum(jnp.where(cols == am[:, None], s, 0.0), axis=1)
             ok = has & (c_u < cbuf)
             put = ok[:, None] & (colsc == c_u[:, None])
             bv = jnp.where(put, val[:, None], bv)
-            bi = jnp.where(put, gid[:, None], bi)
+            bi = jnp.where(put, (am + base)[:, None], bi)
             c_u = c_u + ok.astype(jnp.int32)
             lost = lost + jnp.sum((has & ~ok).astype(jnp.int32))
-            return c_u, lost, wv, bv, bi
+            live = jnp.sum(has.astype(jnp.int32))
+            # a row with no candidate past its cursor gets lastc = big and is
+            # permanently dead; live rows advance their cursor to am
+            return c_u, lost, live, am, bv, bi
 
-        c_u, lost, _, bv, bi = jax.lax.while_loop(
-            trip_cond, trip, (c_u, lost, wv0, bv, bi)
+        c_u, lost, _, _, bv, bi = jax.lax.while_loop(
+            trip_cond, trip,
+            (c_u, lost, jnp.int32(1), jnp.full((bu,), -1, jnp.int32), bv, bi),
         )
         return c_u, lost, bv, bi
 

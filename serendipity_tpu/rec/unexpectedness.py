@@ -18,6 +18,7 @@ blocked MXU matmuls over the binary incidence matrix.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple, Union
 
 import jax
