@@ -9,8 +9,11 @@ Implementation: the Pallas fused kernel (`serendipity_tpu.ops.pallas_score`,
 "twopass" variant: per-row exact admission threshold from block maxima, then
 collect-only extraction of the ~k+O(k) true candidates) — bf16 MXU matmuls with
 the score tile kept in VMEM; bit-identical to `lax.top_k` (tie-spill fallback for
-pathological inputs).  Measured 34.7 Gscores/s on v5e vs 23.4 for the round-1
-"insert" streaming kernel and ~6 for the XLA exact-2-stage path.
+pathological inputs).  Driver-measured 49.2 Gscores/s on v5e (BENCH_r02; the
+round-2b cursor-based pass-B extraction — two full-width reductions per candidate
+instead of four plus a mutated workspace — lifted the first twopass body's 34.7)
+vs 23.4 for the round-1 "insert" streaming kernel and ~6 for the XLA exact-2-stage
+path.
 
 Timing: sustained throughput — PASSES=8 full scoring passes per dispatch (inputs
 perturbed per pass so XLA cannot CSE them), one host round-trip + scalar fetch per

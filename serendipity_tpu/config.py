@@ -51,6 +51,10 @@ class ModelConfig:
     # adjacency operator: pre | plain | norm | gcmc (`--adj_type`,
     # `LightGCN.py:444-456`; `pre` = D^-1/2 A D^-1/2 produced every baseline)
     adj_type: str = "pre"
+    # propagation kernel family: auto | hybrid | ell | joint | edges
+    # (see `train/device.build_device_data`; auto = cost-model choice between the
+    # hybrid dense-head/ELL-tail layout and pure segmented ELL)
+    spmm: str = "auto"
     param_dtype: str = "float32"
     # propagation/matmul dtype.  bf16 is the TPU-native default: measured BETTER
     # mlls quality than f32 (recall@20 0.16391 vs 0.16248, within run variance of

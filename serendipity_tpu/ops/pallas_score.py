@@ -11,11 +11,16 @@ masking, so ties are handled identically to `lax.top_k`.  The score tile never
 leaves VMEM: HBM traffic collapses to reading the two embedding tables plus
 writing [U, K] results.  Variants, bit-identical outputs (v5e, gowalla shape):
 
-  * "twopass" (default, 34.7 Gscores/s): pass A computes per-row 128-block score
-    maxima; tau = k-th largest block max is a provably-valid admission bound, so
-    pass B re-scores (matmuls are ~2% of budget) and extracts ONLY the ~k+O(k)
-    true candidates — no threshold warmup at all.  Tie-heavy pathologies that
-    overflow the collect buffer fall back to the XLA exact path via a spill flag.
+  * "twopass" (default, 49.2 Gscores/s driver-measured in BENCH_r02 — the round-2
+    cursor-based pass-B redesign, up from 34.7 for the first twopass body): pass A
+    computes per-row 128-block score maxima; tau = k-th largest block max is a
+    provably-valid admission bound, so pass B re-scores (matmuls are ~2% of
+    budget) and extracts ONLY the ~k+O(k) true candidates — no threshold warmup
+    at all.  Tie-heavy pathologies that overflow the collect buffer fall back to
+    the XLA exact path via a spill flag.  Scores are expected FINITE (they are
+    embedding dot products): a row with non-finite mass (e.g. -inf from upstream
+    masking) admits everything when tau == -inf and degrades to the XLA fallback
+    through that same spill path — still exact, just slow.
   * "insert" (23.4 Gscores/s): sorted running top-k whose k-th column is a
     per-row admission threshold; a dynamic `while_loop` per item tile extracts
     maxima only while some row still beats its threshold.
@@ -457,7 +462,7 @@ def fused_score_topk(
     item_tile: int = 2048,   # swept on v5e: 2048 > 1024 ~ 512; 512-wide user tiles regress
     sub_tile: int = 256,     # selection sub-block width for the "subtile" variant
     interpret: bool = False,
-    variant: str = "twopass",  # "twopass" (threshold-then-collect, fastest: 34.7
+    variant: str = "twopass",  # "twopass" (threshold-then-collect, fastest: 49.2
                                #   Gscores/s vs insert's 23.4 at gowalla shape)
                                # | "insert" (thresholded streaming while_loop)
                                # | "subtile" (pl.when-gated sub-blocks; slower —

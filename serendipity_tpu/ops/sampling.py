@@ -8,9 +8,9 @@ neg ~ uniform over items rejected while in u's positive set).
 TPU-native formulation: no data-dependent loops — negatives are drawn for a fixed
 number of rounds R and the first non-positive draw per slot is kept.  The residual
 bias (all R draws positive) is < max_density^R, negligible for R>=8 at recommender
-sparsity levels; the host C++ sampler (`native/sampler.cpp`) provides the exact
-rejection loop as a differential cross-check, mirroring the reference's dual
-implementations (`code/utils.py:21-31`).
+sparsity levels; the host C++ sampler (`stpu_sample_negatives` in `native/graphio.cpp`)
+provides the exact rejection loop as a differential cross-check, mirroring the
+reference's dual implementations (`code/utils.py:21-31`).
 """
 
 from __future__ import annotations

@@ -42,7 +42,22 @@ def build_device_data(
     ell_width: int = 16,
     adj_type: str = "pre",
     joint: bool = False,
+    spmm_mode: str = "auto",
+    compute_dtype: str = "float32",
 ) -> DeviceData:
+    """`spmm_mode` selects the propagation kernel family:
+
+      auto    hybrid dense-head/ELL-tail when the cost model favors it
+              (`ops/spmm_hybrid.choose_head_k`), else segmented ELL
+      hybrid  force the hybrid layout (auto head size)
+      ell     segmented ELL pair (`ops/spmm_ell.make_bipartite_spmm`)
+      joint   one stacked (U+I) ELL op per layer (`make_joint_spmm`)
+      edges   no prebuilt ops — model falls back to gather+segment-sum
+
+    Legacy kwargs map in: `use_ell=False` -> edges, `joint=True` -> joint.
+    `compute_dtype` sets the dense head block's storage dtype (it streams from
+    HBM every SpMM, so storing at compute precision halves its bandwidth cost
+    under bf16 training)."""
     if adj is None:
         adj = build_normalized_adjacency(inter, adj_type=adj_type)
     adj_dev = {
@@ -57,19 +72,32 @@ def build_device_data(
         adj_dev["self_u"] = jnp.asarray(adj.self_w_u)
         adj_dev["self_i"] = jnp.asarray(adj.self_w_i)
     valid = np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32)
+    if not use_ell:
+        spmm_mode = "edges"
+    elif joint:
+        spmm_mode = "joint"
     spmm_ops = None
-    if use_ell:
-        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm, make_joint_spmm
+    e = adj.n_edges
+    if spmm_mode in ("auto", "hybrid"):
+        from serendipity_tpu.ops.spmm_hybrid import make_bipartite_hybrid_spmm
 
-        e = adj.n_edges
-        if joint:
-            spmm_ops = make_joint_spmm(
-                inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
-            )
-        else:
-            spmm_ops = make_bipartite_spmm(
-                inter, adj.u_w[:e], adj.i_w[:e], width=ell_width
-            )
+        kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=ell_width)
+        spmm_ops = make_bipartite_hybrid_spmm(inter, adj.u_w[:e], adj.i_w[:e], **kw)
+        if spmm_ops is None:
+            if spmm_mode == "hybrid":
+                spmm_ops = make_bipartite_hybrid_spmm(
+                    inter, adj.u_w[:e], adj.i_w[:e], head_k=256, **kw
+                )
+            else:
+                spmm_mode = "ell"
+    if spmm_mode == "joint":
+        from serendipity_tpu.ops.spmm_ell import make_joint_spmm
+
+        spmm_ops = make_joint_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
+    elif spmm_mode == "ell":
+        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm
+
+        spmm_ops = make_bipartite_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
     return DeviceData(
         n_users=inter.n_users,
         n_items=inter.n_items,

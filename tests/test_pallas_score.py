@@ -41,15 +41,18 @@ def test_fused_score_topk_ties(variant):
 
 
 def test_variants_identical():
-    """Insert variant must match extract bit-for-bit, index order included."""
+    """All variants must match the extract baseline bit-for-bit, index order
+    (tie semantics) included — pins the twopass cursor extraction's tie order
+    against the reference variants, not just value tolerance."""
     rng = np.random.default_rng(3)
     eu = rng.standard_normal((256, 64)).astype(np.float32)
     ei = rng.standard_normal((4096, 64)).astype(np.float32)
     v1, i1 = fused_score_topk(
         jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
     )
-    v2, i2 = fused_score_topk(
-        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="insert"
-    )
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    for variant in ("insert", "twopass", "subtile"):
+        v2, i2 = fused_score_topk(
+            jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant=variant
+        )
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2), err_msg=variant)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), err_msg=variant)
