@@ -27,6 +27,17 @@ task — numpy fp16 `np.dot` + `np.argpartition` on host CPU (the reference's ac
 implementation; measured on this machine: 2.88e6 scores/sec).  BASELINE.json targets
 >= 5x.
 
+Secondary fields (same JSON line): BPR TRAINING-step throughput at gowalla scale
+(29,858 x 40,981 synthetic, batch 2048, 3 layers, bf16, hybrid SpMM) — the other
+headline workload, where the reference GPU trainers report 27-36 s/epoch
+(`LightGCN-tf/README.md:30-48`, `lightGCN/.../README.md:95-110`):
+  train_step_ms           mean ms per optimizer step (fresh sampled batches each
+                          step inside a jitted scan; params advance every step, so
+                          nothing is loop-hoisted)
+  train_interactions_per_s  batch_size / step time
+  train_epoch_s           step time x ceil(n_train / batch) — directly comparable
+                          to the reference's per-epoch numbers
+
 Prints ONE JSON line.
 """
 
@@ -92,16 +103,63 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     scores_per_sec = N_USERS * N_ITEMS * PASSES / best
-    print(
-        json.dumps(
-            {
-                "metric": "candidate_scoring_throughput",
-                "value": round(scores_per_sec / 1e9, 3),
-                "unit": "Gscores/s/chip",
-                "vs_baseline": round(scores_per_sec / REFERENCE_CPU_SCORES_PER_SEC, 1),
-            }
-        )
+    rec = {
+        "metric": "candidate_scoring_throughput",
+        "value": round(scores_per_sec / 1e9, 3),
+        "unit": "Gscores/s/chip",
+        "vs_baseline": round(scores_per_sec / REFERENCE_CPU_SCORES_PER_SEC, 1),
+    }
+    try:
+        rec.update(bench_train_step())
+    except Exception as e:  # train bench must never cost the headline metric
+        rec["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(rec))
+
+
+def bench_train_step():
+    """Training-step throughput at gowalla scale (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from serendipity_tpu.config import ExperimentConfig, apply_overrides
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.train.bpr import BPRTrainer
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.runner import build_model
+
+    cfg = apply_overrides(
+        ExperimentConfig(),
+        ["model.n_layers=3", "train.batch_size=2048", "train.lr=0.001"],
     )
+    inter = synthetic_interactions(29858, 40981, avg_degree=35, seed=0)
+    data = build_device_data(
+        inter, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype
+    )
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    trainer = BPRTrainer(cfg, model, data)
+    state = trainer.init_state()
+
+    # warmup/compile one chunk, then time whole chunks (scan of fresh sampled
+    # steps; params/opt-state advance every step — nothing hoistable)
+    consts = data.spmm_split.consts if data.spmm_split is not None else None
+    params, opt, key = state.params, state.opt_state, state.key
+    params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
+    float(loss)
+    steps = trainer.chunk
+    best = np.inf
+    for _ in range(4):
+        t0 = time.perf_counter()
+        params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    step_s = best / steps
+    batch = cfg.train.batch_size
+    steps_per_epoch = -(-data.n_train // batch)
+    return {
+        "train_step_ms": round(step_s * 1e3, 3),
+        "train_interactions_per_s": round(batch / step_s),
+        "train_epoch_s": round(step_s * steps_per_epoch, 3),
+    }
 
 
 if __name__ == "__main__":

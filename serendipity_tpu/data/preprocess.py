@@ -37,16 +37,37 @@ class RawInteractions:
     ratings: np.ndarray
     timestamps: np.ndarray
     ser_labels: Optional[np.ndarray] = None
+    # When set, `users`/`items` are int CODES into these first-appearance-order
+    # vocabularies (the native parser's encoding, `utils/native.parse_raw_csv_
+    # encoded`) — multi-GB dumps then never materialize per-row string arrays.
+    # `k_core` and `remap_ids` handle both representations and produce
+    # bit-identical outputs (tests/test_preprocess.py).
+    user_vocab: Optional[np.ndarray] = None
+    item_vocab: Optional[np.ndarray] = None
+
+    @property
+    def user_ids(self) -> np.ndarray:
+        """Raw (string) user ids regardless of representation."""
+        return self.users if self.user_vocab is None else self.user_vocab[self.users]
+
+    @property
+    def item_ids(self) -> np.ndarray:
+        return self.items if self.item_vocab is None else self.item_vocab[self.items]
 
 
 def k_core(
     raw: RawInteractions, k_user: int, k_item: int
 ) -> RawInteractions:
     """Iterative degree peeling until every user and item has >= k interactions."""
-    uu, uinv = np.unique(raw.users, return_inverse=True)
-    ii, iinv = np.unique(raw.items, return_inverse=True)
+    if raw.user_vocab is not None:
+        uinv, ulen = raw.users, len(raw.user_vocab)
+        iinv, ilen = raw.items, len(raw.item_vocab)
+    else:
+        uu, uinv = np.unique(raw.users, return_inverse=True)
+        ii, iinv = np.unique(raw.items, return_inverse=True)
+        ulen, ilen = len(uu), len(ii)
     keep = native.k_core_filter(
-        uinv.astype(np.int32), iinv.astype(np.int32), len(uu), len(ii),
+        uinv.astype(np.int32), iinv.astype(np.int32), ulen, ilen,
         k_user, k_item,
     )
     return RawInteractions(
@@ -55,13 +76,33 @@ def k_core(
         ratings=raw.ratings[keep],
         timestamps=raw.timestamps[keep],
         ser_labels=None if raw.ser_labels is None else raw.ser_labels[keep],
+        user_vocab=raw.user_vocab,
+        item_vocab=raw.item_vocab,
     )
+
+
+def _remap_column(col, vocab):
+    """(dense ids, sorted unique raw ids) for one column — np.unique semantics.
+
+    For encoded columns the lexicographic order is recovered from the (small)
+    vocabulary instead of sorting the full string column: np.unique(strings,
+    return_inverse=True) == (vocab[present][order], rank[searchsorted]) exactly.
+    """
+    if vocab is None:
+        uu, inv = np.unique(col, return_inverse=True)
+        return inv.astype(np.int64), uu
+    present = np.unique(col)                     # code values that survived
+    strs = vocab[present]
+    order = np.argsort(strs, kind="stable")      # lexicographic (ids unique)
+    rank = np.empty(len(present), np.int64)
+    rank[order] = np.arange(len(present))
+    return rank[np.searchsorted(present, col)], strs[order]
 
 
 def remap_ids(raw: RawInteractions) -> Tuple[RawInteractions, np.ndarray, np.ndarray]:
     """Dense remap over sorted unique ids -> (remapped, user_vocab, item_vocab)."""
-    uu, uinv = np.unique(raw.users, return_inverse=True)
-    ii, iinv = np.unique(raw.items, return_inverse=True)
+    uinv, uu = _remap_column(raw.users, raw.user_vocab)
+    iinv, ii = _remap_column(raw.items, raw.item_vocab)
     return (
         RawInteractions(
             users=uinv.astype(np.int64),
@@ -88,13 +129,17 @@ def temporal_split(
     n = len(raw.users)
     order = np.lexsort((np.arange(n), raw.timestamps, raw.users))
     users_sorted = raw.users[order]
-    train_mask = np.zeros(n, bool)
+    # vectorized per-group prefix take: row r (within its user's sorted run)
+    # trains iff r < max(1, int(cnt * ratio)) — no per-user Python loop (2M-user
+    # raw dumps made the loop the ingest bottleneck)
     starts = np.searchsorted(users_sorted, np.unique(users_sorted), side="left")
     ends = np.append(starts[1:], n)
-    for s, e in zip(starts, ends):
-        cnt = e - s
-        k = max(1, int(cnt * train_ratio))
-        train_mask[order[s:s + k]] = True
+    counts = ends - starts
+    k = np.maximum(1, (counts * train_ratio).astype(np.int64))
+    group = np.repeat(np.arange(len(starts)), counts)
+    pos_in_group = np.arange(n) - np.repeat(starts, counts)
+    train_mask = np.zeros(n, bool)
+    train_mask[order] = pos_in_group < k[group]
     return train_mask, ~train_mask
 
 
@@ -105,15 +150,20 @@ def ser_label_split(raw: RawInteractions) -> Tuple[np.ndarray, np.ndarray]:
         raise ValueError("ser_label_split needs ser_labels")
     n = len(raw.users)
     order = np.lexsort((np.arange(n), raw.timestamps, raw.users))
-    test_mask = np.zeros(n, bool)
     users_sorted = raw.users[order]
     starts = np.searchsorted(users_sorted, np.unique(users_sorted), side="left")
     ends = np.append(starts[1:], n)
-    for s, e in zip(starts, ends):
-        rows = order[s:e]
-        pos = rows[raw.ser_labels[rows] > 0.99]
-        if len(pos):
-            test_mask[pos[-1]] = True
+    counts = ends - starts
+    # vectorized last-positive-per-group: maximum sorted position among positive
+    # rows of each user (-1 when none), then scatter that row into the mask
+    pos_sorted = np.where(
+        raw.ser_labels[order] > 0.99, np.arange(n), -1
+    )
+    last_pos = np.maximum.reduceat(pos_sorted, starts)
+    last_pos = np.where(counts > 0, last_pos, -1)
+    test_mask = np.zeros(n, bool)
+    hit = last_pos[last_pos >= 0]
+    test_mask[order[hit]] = True
     return ~test_mask, test_mask
 
 
@@ -202,7 +252,31 @@ def parse_raw_csv(
     """Generic raw ratings CSV with a configurable column order — covers the
     reference's per-dataset layouts (`rating_data_process.py:444-504`: SerenLens
     `user,item,timestamp,review,rating,label`; Amazon `user,item,rating,timestamp`
-    and `item,user,rating,timestamp` variants)."""
+    and `item,user,rating,timestamp` variants).
+
+    Fast path: the native RFC4180 parser (`native/graphio.cpp
+    stpu_parse_raw_csv`, vocabulary-encoded string ids) — the reference
+    preprocesses multi-GB dumps, where row-by-row `csv.reader` is the
+    bottleneck.  The Python reader below stays as the fallback and the
+    differential cross-check (tests/test_native.py)."""
+    from serendipity_tpu.utils.native import parse_raw_csv_native
+
+    native = parse_raw_csv_native(path, columns, has_header, decode_strings=False)
+    if native is not None:
+        ucodes, icodes, ratings, times, labels, uvocab, ivocab = native
+        return RawInteractions(
+            users=ucodes, items=icodes, ratings=ratings, timestamps=times,
+            ser_labels=labels, user_vocab=uvocab, item_vocab=ivocab,
+        )
+    return parse_raw_csv_python(path, columns, has_header)
+
+
+def parse_raw_csv_python(
+    path: str,
+    columns: Tuple[str, ...] = ("user_id", "item_id", "rating", "timestamp"),
+    has_header: bool = False,
+) -> RawInteractions:
+    """Pure-Python `csv.reader` implementation (fallback + differential check)."""
     import csv
 
     idx = {name: i for i, name in enumerate(columns)}

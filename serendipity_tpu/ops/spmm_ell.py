@@ -88,11 +88,18 @@ def _ell_apply(x, seg_idx, seg_w, seg_dst, n_dst):
     )
 
 
-def make_spmm(fwd: EllLayout, bwd: EllLayout) -> Callable:
-    """A-matvec closure whose VJP applies the transpose layout (`bwd`)."""
-    fi, fw, fd = jnp.asarray(fwd.seg_idx), jnp.asarray(fwd.seg_w), jnp.asarray(fwd.seg_dst)
-    bi, bw, bd = jnp.asarray(bwd.seg_idx), jnp.asarray(bwd.seg_w), jnp.asarray(bwd.seg_dst)
-    n_dst, n_src = fwd.n_dst, fwd.n_src
+def _ell_dev(layout: EllLayout):
+    return (
+        jnp.asarray(layout.seg_idx),
+        jnp.asarray(layout.seg_w),
+        jnp.asarray(layout.seg_dst),
+    )
+
+
+def _bind_ell(consts, n_dst: int, n_src: int) -> Callable:
+    """Operator closure from (fwd triple, bwd triple) — callable on tracers, so
+    jitted code can pass the triples as arguments (see `ops/spmm_common`)."""
+    (fi, fw, fd), (bi, bw, bd) = consts
 
     @jax.custom_vjp
     def f(x):
@@ -108,6 +115,23 @@ def make_spmm(fwd: EllLayout, bwd: EllLayout) -> Callable:
     return f
 
 
+def split_spmm(fwd: EllLayout, bwd: EllLayout):
+    """SplitSpmm for one direction (consts-as-arguments form)."""
+    from functools import partial
+
+    from serendipity_tpu.ops.spmm_common import SplitSpmm
+
+    return SplitSpmm(
+        consts=(_ell_dev(fwd), _ell_dev(bwd)),
+        bind=partial(_bind_ell, n_dst=fwd.n_dst, n_src=fwd.n_src),
+    )
+
+
+def make_spmm(fwd: EllLayout, bwd: EllLayout) -> Callable:
+    """A-matvec closure whose VJP applies the transpose layout (`bwd`)."""
+    return split_spmm(fwd, bwd).ops()
+
+
 def csr_order_perms(inter) -> Tuple[np.ndarray, np.ndarray]:
     """(perm, inv): `arr_by_item = arr_by_user[perm]` and `arr_by_user = arr_by_item[inv]`.
 
@@ -117,6 +141,34 @@ def csr_order_perms(inter) -> Tuple[np.ndarray, np.ndarray]:
     perm = np.argsort(inter.train_indices, kind="stable")
     inv = np.argsort(perm, kind="stable")
     return perm, inv
+
+
+def _bind_pair(consts, n_users: int, n_items: int):
+    ui_c, iu_c = consts
+    return (
+        _bind_ell(ui_c, n_dst=n_users, n_src=n_items),
+        _bind_ell(iu_c, n_dst=n_items, n_src=n_users),
+    )
+
+
+def split_bipartite_spmm(
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    width: int = 16,
+):
+    """SplitSpmm whose bind yields the (user<-items, item<-users) op pair."""
+    from functools import partial
+
+    from serendipity_tpu.ops.spmm_common import SplitSpmm
+
+    ui, ui_t, iu, iu_t = _bipartite_layouts(
+        inter, weights_by_user, weights_by_item, width
+    )
+    return SplitSpmm(
+        consts=((_ell_dev(ui), _ell_dev(ui_t)), (_ell_dev(iu), _ell_dev(iu_t))),
+        bind=partial(_bind_pair, n_users=inter.n_users, n_items=inter.n_items),
+    )
 
 
 def make_bipartite_spmm(
@@ -134,6 +186,13 @@ def make_bipartite_spmm(
     other direction's weights, but for the row-normalized ones (gcmc/norm) the two
     blocks differ and the gradient needs the true A^T, not the other block.
     """
+    ui, ui_t, iu, iu_t = _bipartite_layouts(
+        inter, weights_by_user, weights_by_item, width
+    )
+    return make_spmm(ui, ui_t), make_spmm(iu, iu_t)
+
+
+def _bipartite_layouts(inter, weights_by_user, weights_by_item, width):
     perm, inv = csr_order_perms(inter)
     ui = build_ell(
         inter.train_indptr, inter.train_indices, weights_by_user,
@@ -155,15 +214,15 @@ def make_bipartite_spmm(
             inter.train_indptr, inter.train_indices, weights_by_item[inv],
             inter.n_users, inter.n_items, width,
         )
-    return make_spmm(ui, ui_t), make_spmm(iu, iu_t)
+    return ui, ui_t, iu, iu_t
 
 
-def make_joint_spmm(
+def split_joint_spmm(
     inter,
     weights_by_user: np.ndarray,
     weights_by_item: np.ndarray,
     width: int = 16,
-) -> Callable:
+):
     """ONE A_hat-matvec over the joint (U+I) x (U+I) bipartite adjacency —
     the reference's actual formulation (`dataloader.py:349-364`: the block
     matrix [[0, R],[R^T, 0]] normalized as a whole).
@@ -192,4 +251,13 @@ def make_joint_spmm(
         # item->user weights read in by-user edge order, and vice versa
         w_t = np.concatenate([weights_by_item[inv], weights_by_user[perm]])
         ell_t = build_ell(indptr, indices, w_t, n, n, width)
-    return make_spmm(ell, ell_t)
+    return split_spmm(ell, ell_t)
+
+
+def make_joint_spmm(
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    width: int = 16,
+) -> Callable:
+    return split_joint_spmm(inter, weights_by_user, weights_by_item, width).ops()

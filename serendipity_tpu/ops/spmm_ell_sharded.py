@@ -120,15 +120,11 @@ def place_chunks(mesh: Mesh, chunks):
     )
 
 
-def make_sharded_spmm(mesh: Mesh, fwd_chunks, bwd_chunks,
-                      n_dst_pad: int, n_src_pad: int) -> Callable:
-    """A-matvec closure: x [n_src_pad, D] row-sharded -> out [n_dst_pad, D]
-    row-sharded; VJP applies the transpose layout (`bwd_chunks`)."""
-    n_shards = int(np.prod([mesh.shape[a] for a in MESH_AXES]))
-    fwd = place_chunks(mesh, fwd_chunks)
-    bwd = place_chunks(mesh, bwd_chunks)
-    rows_out = n_dst_pad // n_shards
-    rows_in = n_src_pad // n_shards
+def _bind_sharded(consts, mesh: Mesh, rows_out: int, rows_in: int) -> Callable:
+    """Operator closure from ((fwd chunks), (bwd chunks)); callable on tracers so
+    jitted code passes the chunk arrays as arguments — required both for compile
+    hygiene and for multi-controller runs (`ops/spmm_common`)."""
+    fwd, bwd = consts
 
     @jax.custom_vjp
     def f(x):
@@ -144,7 +140,27 @@ def make_sharded_spmm(mesh: Mesh, fwd_chunks, bwd_chunks,
     return f
 
 
-def make_sharded_bipartite_spmm(
+def make_sharded_spmm(mesh: Mesh, fwd_chunks, bwd_chunks,
+                      n_dst_pad: int, n_src_pad: int) -> Callable:
+    """A-matvec closure: x [n_src_pad, D] row-sharded -> out [n_dst_pad, D]
+    row-sharded; VJP applies the transpose layout (`bwd_chunks`)."""
+    n_shards = int(np.prod([mesh.shape[a] for a in MESH_AXES]))
+    fwd = place_chunks(mesh, fwd_chunks)
+    bwd = place_chunks(mesh, bwd_chunks)
+    return _bind_sharded(
+        (fwd, bwd), mesh, n_dst_pad // n_shards, n_src_pad // n_shards
+    )
+
+
+def _bind_sharded_pair(consts, mesh: Mesh, rows_u: int, rows_i: int):
+    ui_c, iu_c = consts
+    return (
+        _bind_sharded(ui_c, mesh, rows_u, rows_i),
+        _bind_sharded(iu_c, mesh, rows_i, rows_u),
+    )
+
+
+def split_sharded_bipartite_spmm(
     mesh: Mesh,
     inter,
     weights_by_user: np.ndarray,
@@ -152,10 +168,13 @@ def make_sharded_bipartite_spmm(
     n_users_pad: int,
     n_items_pad: int,
     width: int = 16,
-) -> Tuple[Callable, Callable]:
-    """(user<-items op, item<-users op) for the normalized bipartite adjacency,
+):
+    """SplitSpmm for the dst-sharded (user<-items, item<-users) op pair,
     dst-sharded over the full mesh.  Mirrors `ops/spmm_ell.make_bipartite_spmm`,
     including the true-transpose weight handling for asymmetric operators."""
+    from functools import partial
+
+    from serendipity_tpu.ops.spmm_common import SplitSpmm
     from serendipity_tpu.ops.spmm_ell import csr_order_perms
 
     n_shards = int(np.prod([mesh.shape[a] for a in MESH_AXES]))
@@ -180,6 +199,26 @@ def make_sharded_bipartite_spmm(
             inter.train_indptr, inter.train_indices, weights_by_item[inv],
             n_users_pad, n_items_pad, n_shards, width,
         ))
-    ui_op = make_sharded_spmm(mesh, ui, ui_t, n_users_pad, n_items_pad)
-    iu_op = make_sharded_spmm(mesh, iu, iu_t, n_items_pad, n_users_pad)
-    return ui_op, iu_op
+    return SplitSpmm(
+        consts=(((ui, ui_t), (iu, iu_t))),
+        bind=partial(
+            _bind_sharded_pair, mesh=mesh,
+            rows_u=n_users_pad // n_shards, rows_i=n_items_pad // n_shards,
+        ),
+    )
+
+
+def make_sharded_bipartite_spmm(
+    mesh: Mesh,
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    n_users_pad: int,
+    n_items_pad: int,
+    width: int = 16,
+) -> Tuple[Callable, Callable]:
+    """Eagerly-bound form of `split_sharded_bipartite_spmm` (outside-jit use)."""
+    return split_sharded_bipartite_spmm(
+        mesh, inter, weights_by_user, weights_by_item,
+        n_users_pad, n_items_pad, width,
+    ).ops()

@@ -228,14 +228,25 @@ def _apply_to_items(x_users, head_idx, dense, tail, n_items):
     return out.at[head_idx].add(head_out)
 
 
-def make_hybrid_spmm(layout: HybridLayout) -> Tuple[Callable, Callable]:
-    """(user<-items op, item<-users op) closures with transpose-applying VJPs."""
-    hi = jnp.asarray(layout.head_idx)
-    d_ui = jnp.asarray(layout.dense_ui)
-    d_iu = jnp.asarray(layout.dense_iu)
-    t_ui, t_iu = _dev_ell(layout.tail_ui), _dev_ell(layout.tail_iu)
-    t_ui_t, t_iu_t = _dev_ell(layout.tail_ui_t), _dev_ell(layout.tail_iu_t)
-    n_u, n_i = layout.n_users, layout.n_items
+def hybrid_consts(layout: HybridLayout) -> dict:
+    """Device-array pytree for the consts-as-arguments form (`ops/spmm_common`)."""
+    return {
+        "hi": jnp.asarray(layout.head_idx),
+        "d_ui": jnp.asarray(layout.dense_ui),
+        "d_iu": jnp.asarray(layout.dense_iu),
+        "t_ui": _dev_ell(layout.tail_ui),
+        "t_iu": _dev_ell(layout.tail_iu),
+        "t_ui_t": _dev_ell(layout.tail_ui_t),
+        "t_iu_t": _dev_ell(layout.tail_iu_t),
+    }
+
+
+def bind_hybrid(consts: dict, n_u: int, n_i: int) -> Tuple[Callable, Callable]:
+    """(user<-items op, item<-users op) closures with transpose-applying VJPs;
+    callable on tracers, so jitted code can take `consts` as an argument."""
+    hi, d_ui, d_iu = consts["hi"], consts["d_ui"], consts["d_iu"]
+    t_ui, t_iu = consts["t_ui"], consts["t_iu"]
+    t_ui_t, t_iu_t = consts["t_ui_t"], consts["t_iu_t"]
 
     @jax.custom_vjp
     def ui_op(x):
@@ -265,6 +276,36 @@ def make_hybrid_spmm(layout: HybridLayout) -> Tuple[Callable, Callable]:
     return ui_op, iu_op
 
 
+def make_hybrid_spmm(layout: HybridLayout) -> Tuple[Callable, Callable]:
+    """Eagerly-bound op pair (single-controller, outside-jit use)."""
+    return bind_hybrid(hybrid_consts(layout), layout.n_users, layout.n_items)
+
+
+def split_bipartite_hybrid_spmm(
+    inter,
+    weights_by_user: np.ndarray,
+    weights_by_item: np.ndarray,
+    head_k: Optional[int] = None,
+    dense_dtype=jnp.bfloat16,
+    ell_width: int = 16,
+):
+    """SplitSpmm (consts + bind) form; None when the cost model says pure ELL."""
+    from functools import partial
+
+    from serendipity_tpu.ops.spmm_common import SplitSpmm
+
+    layout = build_hybrid(
+        inter, weights_by_user, weights_by_item,
+        head_k=head_k, dense_dtype=dense_dtype, ell_width=ell_width,
+    )
+    if layout is None:
+        return None
+    return SplitSpmm(
+        consts=hybrid_consts(layout),
+        bind=partial(bind_hybrid, n_u=layout.n_users, n_i=layout.n_items),
+    )
+
+
 def make_bipartite_hybrid_spmm(
     inter,
     weights_by_user: np.ndarray,
@@ -274,10 +315,8 @@ def make_bipartite_hybrid_spmm(
     ell_width: int = 16,
 ) -> Optional[Tuple[Callable, Callable]]:
     """Drop-in for `spmm_ell.make_bipartite_spmm`; None when pure ELL is cheaper."""
-    layout = build_hybrid(
+    split = split_bipartite_hybrid_spmm(
         inter, weights_by_user, weights_by_item,
         head_k=head_k, dense_dtype=dense_dtype, ell_width=ell_width,
     )
-    if layout is None:
-        return None
-    return make_hybrid_spmm(layout)
+    return None if split is None else split.ops()

@@ -40,7 +40,10 @@ from serendipity_tpu.data.datasets import Interactions
 from serendipity_tpu.graph.adjacency import build_normalized_adjacency
 from serendipity_tpu.models.lightgcn import EmbeddingModel, init_params
 from serendipity_tpu.ops.sampling import sample_bpr_batch
-from serendipity_tpu.ops.spmm_ell_sharded import MESH_AXES, make_sharded_bipartite_spmm
+from serendipity_tpu.ops.spmm_ell_sharded import (
+    MESH_AXES,
+    split_sharded_bipartite_spmm,
+)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -88,11 +91,11 @@ def build_sharded_device_data(
     repl = NamedSharding(mesh, P())
 
     use_ell = cfg.model.arch == "lightgcn" and cfg.model.edge_dropout == 0.0
-    spmm_ops = None
+    spmm_split = None
     adj: Dict[str, jnp.ndarray] = {}
     if use_ell:
         e = adj_host.n_edges
-        spmm_ops = make_sharded_bipartite_spmm(
+        spmm_split = split_sharded_bipartite_spmm(
             mesh, inter, adj_host.u_w[:e], adj_host.i_w[:e], up, ip
         )
     elif cfg.model.arch != "mf":
@@ -129,7 +132,8 @@ def build_sharded_device_data(
         valid_users=jax.device_put(valid, repl),
         test_indptr=jax.device_put(inter.test_indptr.astype(np.int32), repl),
         test_indices=jax.device_put(inter.test_indices.astype(np.int32), repl),
-        spmm_ops=spmm_ops,
+        spmm_ops=spmm_split.ops() if spmm_split is not None else None,
+        spmm_split=spmm_split,
         search_iters=_search_iters(inter),
     )
     model = EmbeddingModel(
@@ -174,7 +178,13 @@ def build_sharded_train_setup(
     key = jax.random.PRNGKey(cfg.train.seed)
     params = init_params(jax.random.fold_in(key, 0), cfg.model, up, ip)
     shardings = table_shardings(mesh)
-    params = {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
+    # via host numpy: a committed process-local array cannot be device_put onto a
+    # sharding spanning other processes, but an (identical) host value can — this
+    # is what lets the same setup run under multi-controller jax.distributed
+    # (tests/test_distributed.py)
+    params = {
+        k: jax.device_put(np.asarray(v), shardings[k]) for k, v in params.items()
+    }
     optimizer = optax.adam(cfg.train.lr)
     opt_state = optimizer.init(params)
 
@@ -182,7 +192,14 @@ def build_sharded_train_setup(
     batch = _round_up(tcfg.batch_size, n_data)
     batch_sh = NamedSharding(mesh, P("data"))
 
-    def step_fn(params, opt_state, key):
+    def step_fn(params, opt_state, key, spmm_consts):
+        # SpMM layout arrays enter as arguments and are bound at trace time —
+        # mandatory for multi-controller runs (closed-over global arrays cannot
+        # be constant-folded) and keeps the HLO small (`ops/spmm_common`)
+        spmm_ops = (
+            data.spmm_split.bind(spmm_consts)
+            if data.spmm_split is not None else data.spmm_ops
+        )
         k_sample, k_drop, k_next = jax.random.split(key, 3)
         users, pos, neg = sample_bpr_batch(
             k_sample, data.valid_users, data.train_indptr, data.train_indices,
@@ -197,7 +214,7 @@ def build_sharded_train_setup(
             return model.bpr_loss(
                 p, data.adj, users, pos, neg, tcfg.l2_decay,
                 dropout_key=k_drop if model.edge_dropout > 0 else None,
-                spmm_ops=data.spmm_ops,
+                spmm_ops=spmm_ops,
             )
 
         (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -209,7 +226,11 @@ def build_sharded_train_setup(
         }
         return params, opt_state, k_next, loss
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    inner = jax.jit(step_fn, donate_argnums=(0, 1))
+    consts = data.spmm_split.consts if data.spmm_split is not None else None
+
+    def jitted(params, opt_state, key):
+        return inner(params, opt_state, key, consts)
     return ShardedTrainSetup(
         mesh=mesh,
         model=model,

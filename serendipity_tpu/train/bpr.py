@@ -86,42 +86,50 @@ class BPRTrainer:
         tcfg = cfg.train
         steps = self.chunk
 
-        def step(carry, step_key):
-            params, opt_state = carry
-            k_sample, k_drop = jax.random.split(step_key)
-            users, pos, neg = sample_bpr_batch(
-                k_sample,
-                data.valid_users,
-                data.train_indptr,
-                data.train_indices,
-                data.n_items,
-                tcfg.batch_size,
-                tcfg.neg_resample_rounds,
-                search_iters=data.search_iters,
-            )
-            if self.batch_sharding is not None:
-                users = jax.lax.with_sharding_constraint(users, self.batch_sharding)
-                pos = jax.lax.with_sharding_constraint(pos, self.batch_sharding)
-                neg = jax.lax.with_sharding_constraint(neg, self.batch_sharding)
+        def chunk_fn(params, opt_state, key, spmm_consts):
+            # bind the SpMM closures from the consts ARGUMENT at trace time
+            # (`ops/spmm_common.SplitSpmm`): the layout arrays enter the step as
+            # inputs, not as HLO constants
+            if data.spmm_split is not None:
+                spmm_ops = data.spmm_split.bind(spmm_consts)
+            else:
+                spmm_ops = data.spmm_ops
 
-            def loss_fn(p):
-                return model.bpr_loss(
-                    p, data.adj, users, pos, neg, tcfg.l2_decay,
-                    dropout_key=k_drop if model.edge_dropout > 0 else None,
-                    spmm_ops=data.spmm_ops,
+            def step(carry, step_key):
+                params, opt_state = carry
+                k_sample, k_drop = jax.random.split(step_key)
+                users, pos, neg = sample_bpr_batch(
+                    k_sample,
+                    data.valid_users,
+                    data.train_indptr,
+                    data.train_indices,
+                    data.n_items,
+                    tcfg.batch_size,
+                    tcfg.neg_resample_rounds,
+                    search_iters=data.search_iters,
                 )
+                if self.batch_sharding is not None:
+                    users = jax.lax.with_sharding_constraint(users, self.batch_sharding)
+                    pos = jax.lax.with_sharding_constraint(pos, self.batch_sharding)
+                    neg = jax.lax.with_sharding_constraint(neg, self.batch_sharding)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if self.param_shardings is not None:
-                params = {
-                    k: jax.lax.with_sharding_constraint(v, self.param_shardings[k])
-                    for k, v in params.items()
-                }
-            return (params, opt_state), (loss, aux["mf_loss"])
+                def loss_fn(p):
+                    return model.bpr_loss(
+                        p, data.adj, users, pos, neg, tcfg.l2_decay,
+                        dropout_key=k_drop if model.edge_dropout > 0 else None,
+                        spmm_ops=spmm_ops,
+                    )
 
-        def chunk_fn(params, opt_state, key):
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if self.param_shardings is not None:
+                    params = {
+                        k: jax.lax.with_sharding_constraint(v, self.param_shardings[k])
+                        for k, v in params.items()
+                    }
+                return (params, opt_state), (loss, aux["mf_loss"])
+
             key, sub = jax.random.split(key)
             step_keys = jax.random.split(sub, steps)
             (params, opt_state), (losses, mf_losses) = jax.lax.scan(
@@ -132,10 +140,13 @@ class BPRTrainer:
         return chunk_fn
 
     def train_epoch(self, state: TrainState) -> Tuple[TrainState, float, float]:
+        consts = (
+            self.data.spmm_split.consts if self.data.spmm_split is not None else None
+        )
         losses, mf_losses = [], []
         for _ in range(self.n_chunks):
             params, opt_state, key, loss, mf_loss = self._chunk_fn(
-                state.params, state.opt_state, state.key
+                state.params, state.opt_state, state.key, consts
             )
             state.params, state.opt_state, state.key = params, opt_state, key
             losses.append(loss)

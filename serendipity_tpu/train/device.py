@@ -29,7 +29,12 @@ class DeviceData:
     valid_users: jnp.ndarray             # users with >=1 train item
     test_indptr: jnp.ndarray
     test_indices: jnp.ndarray
-    spmm_ops: object = None              # (ui_op, iu_op) segmented-ELL closures
+    spmm_ops: object = None              # eagerly-bound op closures (outside-jit use)
+    # consts-as-arguments form of the same operators (`ops/spmm_common.SplitSpmm`):
+    # jitted training passes .consts as step arguments and binds inside the trace,
+    # keeping multi-MB layouts out of the compiled HLO (and enabling
+    # multi-controller runs, where closed-over global arrays are unfetchable)
+    spmm_split: object = None
     # bisection steps that certainly resolve membership in any user's sorted
     # train row: ceil(log2(max degree)) + 1 (static, from host data)
     search_iters: int = 32
@@ -76,28 +81,28 @@ def build_device_data(
         spmm_mode = "edges"
     elif joint:
         spmm_mode = "joint"
-    spmm_ops = None
+    spmm_split = None
     e = adj.n_edges
     if spmm_mode in ("auto", "hybrid"):
-        from serendipity_tpu.ops.spmm_hybrid import make_bipartite_hybrid_spmm
+        from serendipity_tpu.ops.spmm_hybrid import split_bipartite_hybrid_spmm
 
         kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=ell_width)
-        spmm_ops = make_bipartite_hybrid_spmm(inter, adj.u_w[:e], adj.i_w[:e], **kw)
-        if spmm_ops is None:
+        spmm_split = split_bipartite_hybrid_spmm(inter, adj.u_w[:e], adj.i_w[:e], **kw)
+        if spmm_split is None:
             if spmm_mode == "hybrid":
-                spmm_ops = make_bipartite_hybrid_spmm(
+                spmm_split = split_bipartite_hybrid_spmm(
                     inter, adj.u_w[:e], adj.i_w[:e], head_k=256, **kw
                 )
             else:
                 spmm_mode = "ell"
     if spmm_mode == "joint":
-        from serendipity_tpu.ops.spmm_ell import make_joint_spmm
+        from serendipity_tpu.ops.spmm_ell import split_joint_spmm
 
-        spmm_ops = make_joint_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
+        spmm_split = split_joint_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
     elif spmm_mode == "ell":
-        from serendipity_tpu.ops.spmm_ell import make_bipartite_spmm
+        from serendipity_tpu.ops.spmm_ell import split_bipartite_spmm
 
-        spmm_ops = make_bipartite_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
+        spmm_split = split_bipartite_spmm(inter, adj.u_w[:e], adj.i_w[:e], width=ell_width)
     return DeviceData(
         n_users=inter.n_users,
         n_items=inter.n_items,
@@ -108,7 +113,8 @@ def build_device_data(
         valid_users=jnp.asarray(valid),
         test_indptr=jnp.asarray(inter.test_indptr, dtype=jnp.int32),
         test_indices=jnp.asarray(inter.test_indices, dtype=jnp.int32),
-        spmm_ops=spmm_ops,
+        spmm_ops=spmm_split.ops() if spmm_split is not None else None,
+        spmm_split=spmm_split,
         search_iters=_search_iters(inter),
     )
 

@@ -71,6 +71,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(i32p), ctypes.POINTER(i32p),
         ctypes.POINTER(f32p), ctypes.POINTER(f64p), ctypes.POINTER(f32p), i32p,
     ]
+    cp = ctypes.POINTER(ctypes.c_char)
+    lib.stpu_parse_raw_csv.restype = ctypes.c_int64
+    lib.stpu_parse_raw_csv.argtypes = (
+        [ctypes.c_char_p] + [ctypes.c_int32] * 7
+        + [ctypes.POINTER(i32p), ctypes.POINTER(i32p),
+           ctypes.POINTER(f64p), ctypes.POINTER(f64p), ctypes.POINTER(f64p)]
+        + [ctypes.POINTER(cp), ctypes.POINTER(i64p), i64p] * 2
+    )
     _lib = lib
     return _lib
 
@@ -169,6 +177,75 @@ def build_csr(
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return indptr, indices
+
+
+def parse_raw_csv_native(path: str, columns, has_header: bool,
+                         decode_strings: bool = True):
+    """Native generic raw-CSV parse (string ids, RFC4180 quoting) or None.
+
+    Returns (users, items, ratings, timestamps, labels_or_None) with users/items
+    as numpy unicode arrays — the exact column contents `csv.reader` would
+    produce, reconstructed as vocab[codes] (first-appearance-order vocabulary
+    built in C).  Differential cross-check: `data/preprocess.parse_raw_csv`'s
+    pure-Python reader (tests/test_native.py).
+
+    `decode_strings=False` skips the per-row string reconstruction and returns
+    (user_codes i64, item_codes i64, ratings, timestamps, labels, user_vocab,
+    item_vocab) — the form multi-GB ingestion should use
+    (`data/preprocess.RawInteractions` encoded representation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = {name: i for i, name in enumerate(columns)}
+    if "user_id" not in idx or "item_id" not in idx:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    cp = ctypes.POINTER(ctypes.c_char)
+    uc, ic = i32p(), i32p()
+    rp, tp, lp = f64p(), f64p(), f64p()
+    ub, ib = cp(), cp()
+    uo, io_ = i64p(), i64p()
+    nu, ni = ctypes.c_int64(), ctypes.c_int64()
+    n = lib.stpu_parse_raw_csv(
+        path.encode(), 1 if has_header else 0, len(columns),
+        idx["user_id"], idx["item_id"],
+        idx.get("rating", -1), idx.get("timestamp", -1), idx.get("label", -1),
+        ctypes.byref(uc), ctypes.byref(ic),
+        ctypes.byref(rp), ctypes.byref(tp), ctypes.byref(lp),
+        ctypes.byref(ub), ctypes.byref(uo), ctypes.byref(nu),
+        ctypes.byref(ib), ctypes.byref(io_), ctypes.byref(ni),
+    )
+    if n < 0:
+        return None
+
+    def vocab(buf_p, off_p, count):
+        offs = np.ctypeslib.as_array(off_p, shape=(count + 1,))
+        total = int(offs[count])
+        raw = ctypes.string_at(buf_p, total)
+        # '<U' array directly: fancy-indexing it below then yields the final
+        # unicode column as one memcpy pass (np.asarray(list-of-str) dtype,
+        # matching the Python reader's arrays)
+        return np.asarray(
+            [raw[offs[i]:offs[i + 1]].decode("utf-8", "surrogateescape")
+             for i in range(count)]
+        )
+
+    ucodes = _as_np(uc, n, np.int64)
+    icodes = _as_np(ic, n, np.int64)
+    uvocab = vocab(ub, uo, int(nu.value))
+    ivocab = vocab(ib, io_, int(ni.value))
+    ratings = _as_np(rp, n, np.float64)
+    ts = _as_np(tp, n, np.float64)
+    labels = _as_np(lp, n, np.float64) if "label" in idx else None
+    for p in (uc, ic, rp, tp, lp, ub, uo, ib, io_):
+        lib.stpu_free(p)
+    if not decode_strings:
+        return ucodes, icodes, ratings, ts, labels, uvocab, ivocab
+    users = uvocab[ucodes] if n else np.asarray([], dtype=str)
+    items = ivocab[icodes] if n else np.asarray([], dtype=str)
+    return users, items, ratings, ts, labels
 
 
 def parse_rating_csv(path: str):

@@ -103,3 +103,49 @@ def test_parse_rating_csv(lib, tmp_path):
     np.testing.assert_allclose(cols["rating"], [4.5, 3.0])
     np.testing.assert_allclose(cols["timestamp"], [100.0, 200.5])
     np.testing.assert_allclose(cols["serLabel"], [1.0, 0.0])
+
+
+def test_parse_raw_csv_native_matches_python(lib, tmp_path):
+    """Native RFC4180 raw-CSV parser vs the pure-Python csv.reader path: quoted
+    commas, doubled quotes, embedded newlines, header, short rows, first-
+    appearance string ids — arrays must be identical (values bit-for-bit)."""
+    from serendipity_tpu.data.preprocess import parse_raw_csv_python
+    from serendipity_tpu.utils.native import parse_raw_csv_native
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "user_id,item_id,timestamp,review,rating,label\n"
+        'u1,i1,100,"nice, really ""great""",4.5,1\n'
+        'u2,i2,200.25,"multi\nline review",3.0,0\n'
+        "u1,i3,1.5e9,plain,2.25,1\n"
+        "short,row\n"
+        'u3,i1,400,"",5,0\n'
+    )
+    cols = ("user_id", "item_id", "timestamp", "review", "rating", "label")
+    py = parse_raw_csv_python(str(p), cols, has_header=True)
+    nat = parse_raw_csv_native(str(p), cols, True)
+    assert nat is not None
+    users, items, ratings, ts, labels = nat
+    np.testing.assert_array_equal(users, py.users)
+    np.testing.assert_array_equal(items, py.items)
+    np.testing.assert_array_equal(ratings, py.ratings)
+    np.testing.assert_array_equal(ts, py.timestamps)
+    np.testing.assert_array_equal(labels, py.ser_labels)
+
+
+def test_parse_raw_csv_native_column_orders(lib, tmp_path):
+    """Amazon-style numeric-id layouts, no header, no label column."""
+    from serendipity_tpu.data.preprocess import parse_raw_csv_python
+    from serendipity_tpu.utils.native import parse_raw_csv_native
+
+    p = tmp_path / "amz.csv"
+    p.write_text("I9,U3,5.0,900\nI2,U3,1.0,901\nI9,U4,3.5,902\n")
+    cols = ("item_id", "user_id", "rating", "timestamp")
+    py = parse_raw_csv_python(str(p), cols, has_header=False)
+    nat = parse_raw_csv_native(str(p), cols, False)
+    assert nat is not None
+    np.testing.assert_array_equal(nat[0], py.users)
+    np.testing.assert_array_equal(nat[1], py.items)
+    np.testing.assert_array_equal(nat[2], py.ratings)
+    np.testing.assert_array_equal(nat[3], py.timestamps)
+    assert nat[4] is None and py.ser_labels is None

@@ -118,7 +118,9 @@ def test_parse_raw_csv(tmp_path):
     p = tmp_path / "ratings.csv"
     p.write_text("u1,i1,5.0,100\nu2,i2,3.0,200\n")
     raw = parse_raw_csv(str(p))
-    assert list(raw.users) == ["u1", "u2"]
+    # the native fast path returns the encoded (codes + vocab) representation;
+    # user_ids resolves either form to the raw strings
+    assert list(raw.user_ids) == ["u1", "u2"]
     np.testing.assert_allclose(raw.ratings, [5.0, 3.0])
 
     # SerenLens layout with header + label column
@@ -135,3 +137,42 @@ def test_parse_raw_csv(tmp_path):
     )
     np.testing.assert_allclose(raw2.ser_labels, [1.0, 0.0])
     np.testing.assert_allclose(raw2.timestamps, [100.0, 200.0])
+
+
+def test_encoded_and_string_pipelines_identical(tmp_path):
+    """build_interactions from the native encoded representation must be
+    bit-identical to the pure-Python string path (same remap, same splits)."""
+    from serendipity_tpu.data.preprocess import (
+        RawInteractions, build_interactions, parse_raw_csv_python,
+    )
+    from serendipity_tpu.utils.native import parse_raw_csv_native
+
+    rng = np.random.default_rng(4)
+    lines = ["user_id,item_id,rating,timestamp"]
+    for k in range(3000):
+        u, i = rng.integers(0, 60), rng.integers(0, 90)
+        lines.append(f"U{u},I{i},{rng.integers(1, 6)}.0,{1000 + k}")
+    p = tmp_path / "enc.csv"
+    p.write_text("\n".join(lines) + "\n")
+    cols = ("user_id", "item_id", "rating", "timestamp")
+
+    py_raw = parse_raw_csv_python(str(p), cols, has_header=True)
+    nat = parse_raw_csv_native(str(p), cols, True, decode_strings=False)
+    if nat is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    uc, ic, r, t, lab, uvoc, ivoc = nat
+    enc_raw = RawInteractions(
+        users=uc, items=ic, ratings=r, timestamps=t,
+        user_vocab=uvoc, item_vocab=ivoc,
+    )
+    a, ua, ia = build_interactions(py_raw, k_user=3, k_item=3)
+    b, ub, ib = build_interactions(enc_raw, k_user=3, k_item=3)
+    np.testing.assert_array_equal(ua, ub)
+    np.testing.assert_array_equal(ia, ib)
+    for attr in ("train_indptr", "train_indices", "test_indptr", "test_indices",
+                 "train_ratings", "train_timestamps"):
+        np.testing.assert_array_equal(
+            getattr(a, attr), getattr(b, attr), err_msg=attr
+        )
