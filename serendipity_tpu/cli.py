@@ -99,9 +99,14 @@ def cmd_pipeline(args) -> None:
         emb_u, emb_i = res["emb_user"], res["emb_item"]
     fusion_specs = expand_fusion_specs(args.fuse, args.fuse_sweep)
     out_dir = os.path.join(cfg.out_dir, cfg.data.name)
+    mesh = None
+    if cfg.mesh.data_axis > 1 or cfg.mesh.model_axis > 1:
+        from serendipity_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
     run_study(
         inter, emb_u, emb_i, cfg, out_dir=out_dir, fusion_specs=fusion_specs,
-        compute_disentanglement=args.disentanglement,
+        compute_disentanglement=args.disentanglement, mesh=mesh,
     )
     print(f"study results under {out_dir}/res")
 

@@ -45,12 +45,14 @@ def run_seed(
     out_dir: Optional[str] = None,
     compute_disentanglement: bool = False,
     resume: bool = True,
+    mesh=None,
 ) -> Dict:
     """One seed of the study: candidates -> strategies -> metrics.
 
     With `resume`, per-seed artifacts already on disk are reloaded instead of
     recomputed — the reference's memoize-and-skip behavior (`recommend.py:365-368`,
-    `utils.py:75-76`)."""
+    `utils.py:75-76`).  With `mesh`, the user axis of the scoring, DPP, and
+    serendipity stages fans out over all mesh devices (`parallel/study.py`)."""
     rcfg = cfg.rec
     k = rcfg.top_k
     seed_dir = os.path.join(out_dir, "rec", str(seed)) if out_dir else None
@@ -64,7 +66,7 @@ def run_seed(
     if cand is None or cand.shape != (inter.n_users, rcfg.n_candidates):
         with timer("candidates"):
             cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
-    scorer = StrategyScorer(inter, emb_user, emb_item, cand)
+    scorer = StrategyScorer(inter, emb_user, emb_item, cand, mesh=mesh)
     with timer("strategy_scores"):
         scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
 
@@ -75,7 +77,7 @@ def run_seed(
             recs[m] = hit.astype(np.int32)
         elif m == "div":
             with timer("dpp"):
-                recs[m] = dpp_rerank(cand, emb_item, k)
+                recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh)
         else:
             with timer("topk_strategies"):
                 recs[m] = topk_from_scores(scores[m], cand, k)
@@ -92,7 +94,7 @@ def run_seed(
             fused_names.append(name)
 
     if evaluator is None:
-        evaluator = SerendipityEvaluator(inter, emb_item)
+        evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
     with timer("evaluate"):
         results = evaluator.evaluate_methods(recs, candidates=cand)
     methods = [m for m in rcfg.strategies] + fused_names
@@ -141,9 +143,10 @@ def run_study(
     fusion_specs: Optional[Sequence[Tuple[Sequence[str], Sequence[float]]]] = None,
     compute_disentanglement: bool = False,
     log_fn=print,
+    mesh=None,
 ) -> Dict:
     """All seeds + mean/std aggregation (`sum_res_all_seed` contract)."""
-    evaluator = SerendipityEvaluator(inter, emb_item)
+    evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
     mats, ser_mats, disents = [], [], []
     methods = None
     for seed in cfg.rec.seeds:
@@ -151,7 +154,7 @@ def run_study(
         res = run_seed(
             inter, emb_user, emb_item, cfg, seed,
             evaluator=evaluator, fusion_specs=fusion_specs, out_dir=out_dir,
-            compute_disentanglement=compute_disentanglement,
+            compute_disentanglement=compute_disentanglement, mesh=mesh,
         )
         mats.append(res["matrix"])
         log_fn(f"seed {seed} stage walls {timer.dict()}")

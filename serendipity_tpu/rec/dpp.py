@@ -114,23 +114,50 @@ def dpp_rerank(
     user_block: int = 256,
     degenerate_diag: bool = False,
     rel_factor: float = 1.0,
+    mesh=None,                           # jax Mesh: user_block users PER DEVICE
 ) -> np.ndarray:
-    """Host driver: [U, k] selected item ids."""
+    """Host driver: [U, k] selected item ids.  With a mesh, each dispatch runs
+    `user_block` users on EVERY device (`parallel/study.dpp_positions_sharded`) —
+    the per-device HBM footprint is unchanged while wall-clock divides by the
+    device count (reference analog: `Pool(4)` at `recommend.py:261-284`)."""
     ei = np.asarray(emb_item, np.float32)
     ei = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
     ei_dev = jnp.asarray(ei)
     n_users = candidates.shape[0]
     out = np.zeros((n_users, k), np.int32)
-    for s in range(0, n_users, user_block):
-        e = min(s + user_block, n_users)
-        cand = jnp.asarray(candidates[s:e])
-        cand_emb = ei_dev[cand]
-        rel = None if rel_scores is None else jnp.asarray(rel_scores[s:e])
-        pos = np.asarray(
-            dpp_select_block(
-                cand_emb, rel, k, div_weight=div_weight,
-                degenerate_diag=degenerate_diag, rel_factor=rel_factor,
-            )
+    step = user_block
+    nd = 1
+    if mesh is not None:
+        from serendipity_tpu.parallel.study import (
+            dpp_positions_sharded, mesh_devices, pad_users,
         )
+
+        nd = mesh_devices(mesh)
+        step = user_block * nd
+    for s in range(0, n_users, step):
+        e = min(s + step, n_users)
+        if mesh is not None:
+            cand_np = pad_users(candidates[s:e].astype(np.int32), nd)
+            rel = (
+                None if rel_scores is None
+                else jnp.asarray(pad_users(rel_scores[s:e], nd))
+            )
+            pos = np.asarray(
+                dpp_positions_sharded(
+                    mesh, jnp.asarray(cand_np), ei_dev, rel, k,
+                    div_weight=div_weight, degenerate_diag=degenerate_diag,
+                    rel_factor=rel_factor,
+                )
+            )[: e - s]
+        else:
+            cand = jnp.asarray(candidates[s:e])
+            cand_emb = ei_dev[cand]
+            rel = None if rel_scores is None else jnp.asarray(rel_scores[s:e])
+            pos = np.asarray(
+                dpp_select_block(
+                    cand_emb, rel, k, div_weight=div_weight,
+                    degenerate_diag=degenerate_diag, rel_factor=rel_factor,
+                )
+            )
         out[s:e] = np.take_along_axis(candidates[s:e], pos, axis=1)
     return out

@@ -196,10 +196,12 @@ class SerendipityEvaluator:
         inter: Interactions,
         emb_item: np.ndarray,
         user_block: int = 8192,
+        mesh=None,                  # jax Mesh: shard the user axis over devices
     ):
         self.inter = inter
         self.emb_item = np.asarray(emb_item, np.float32)
         self.user_block = user_block
+        self.mesh = mesh
         self.n_users, self.n_items = inter.n_users, inter.n_items
         self.ei_dev = jnp.asarray(self.emb_item)
         self.ei_pad = jnp.concatenate(
@@ -238,12 +240,31 @@ class SerendipityEvaluator:
         dif = 1 - norm(max-sim of rec item to TRAIN items)."""
         u, k = mat_rec.shape
         denom = max(self.ii_max - self.ii_min, 1e-12)
-        ms_te, ms_tr = _acc_dif_device(
-            jnp.asarray(mat_rec, jnp.int32), self.ei_pad,
-            self._te_ptr, self._te_idx, self._tr_ptr, self._tr_idx,
-            n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
-            block=self.user_block,
-        )
+        if self.mesh is not None:
+            from serendipity_tpu.parallel.study import (
+                acc_dif_sharded, csr_start_deg, mesh_devices, pad_users,
+            )
+
+            nd = mesh_devices(self.mesh)
+            te_s, te_d = csr_start_deg(self.inter.test_indptr)
+            tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
+            ms_te, ms_tr = acc_dif_sharded(
+                self.mesh,
+                jnp.asarray(pad_users(mat_rec.astype(np.int32), nd)), self.ei_pad,
+                jnp.asarray(pad_users(te_s, nd)), jnp.asarray(pad_users(te_d, nd)),
+                self._te_idx,
+                jnp.asarray(pad_users(tr_s, nd)), jnp.asarray(pad_users(tr_d, nd)),
+                self._tr_idx,
+                n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
+                block=self.user_block,
+            )
+        else:
+            ms_te, ms_tr = _acc_dif_device(
+                jnp.asarray(mat_rec, jnp.int32), self.ei_pad,
+                self._te_ptr, self._te_idx, self._tr_ptr, self._tr_idx,
+                n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
+                block=self.user_block,
+            )
         ms_te = np.asarray(ms_te[:u])
         ms_tr = np.asarray(ms_tr[:u])
         acc = (ms_te - self.ii_min) / denom
@@ -291,15 +312,31 @@ class SerendipityEvaluator:
         per user, mean over rec items NOT in pm of (max-sim to train), min_dis when
         empty; final value min-max normalized by the global I.I^T range."""
         u, k = mat_rec.shape
-        vals = np.asarray(
-            _ser2_device(
+        if self.mesh is not None:
+            from serendipity_tpu.parallel.study import (
+                csr_start_deg, mesh_devices, pad_users, ser2_sharded,
+            )
+
+            nd = mesh_devices(self.mesh)
+            tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
+            dev_vals = ser2_sharded(
+                self.mesh,
+                jnp.asarray(pad_users(mat_rec.astype(np.int32), nd)),
+                jnp.asarray(pad_users(np.sort(pm, axis=1).astype(np.int32), nd)),
+                self.ei_pad,
+                jnp.asarray(pad_users(tr_s, nd)), jnp.asarray(pad_users(tr_d, nd)),
+                self._tr_idx, jnp.float32(self.ii_min),
+                n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
+            )
+        else:
+            dev_vals = _ser2_device(
                 jnp.asarray(mat_rec, jnp.int32),
                 jnp.asarray(np.sort(pm, axis=1), jnp.int32),
                 self.ei_pad, self._tr_ptr, self._tr_idx,
                 jnp.float32(self.ii_min),
                 n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
-            )[:u]
-        )
+            )
+        vals = np.asarray(dev_vals[:u])
         # users with no train history have no max-sim; exclude (see ser1_valid note)
         vals = vals[self.has_train]
         return float(

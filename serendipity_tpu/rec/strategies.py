@@ -93,6 +93,21 @@ def padded_rows_device(
     return jnp.where(jnp.arange(h_max)[None, :] < deg[:, None], ids, pad_val)
 
 
+def padded_rows_start_deg(
+    starts: jnp.ndarray,        # [B] int32 CSR row starts (already gathered)
+    degs: jnp.ndarray,          # [B] int32 row degrees
+    indices: jnp.ndarray,       # [nnz] int32 (replicated)
+    h_max: int,
+    pad_val: int,
+) -> jnp.ndarray:
+    """`padded_rows_device` on pre-gathered (start, deg) pairs — the form the
+    sharded study stages use, where per-user CSR offsets shard with the user
+    axis and only the flat `indices` stays replicated (`parallel/study.py`)."""
+    pos = starts[:, None] + jnp.arange(h_max, dtype=jnp.int32)[None, :]
+    ids = indices[jnp.clip(pos, 0, indices.shape[0] - 1)]
+    return jnp.where(jnp.arange(h_max)[None, :] < degs[:, None], ids, pad_val)
+
+
 def max_sim_chunked(
     cand_emb: jnp.ndarray,      # [B, C, D]
     hist_idx: jnp.ndarray,      # [B, T] padded (pad = n_items), T % h_chunk == 0
@@ -212,12 +227,14 @@ class StrategyScorer:
         emb_item: np.ndarray,
         candidates: np.ndarray,      # [U, C] int32
         user_block: int = 128,
+        mesh=None,                   # jax Mesh: shard the user axis over devices
     ):
         self.inter = inter
         self.emb_user = np.asarray(emb_user, np.float32)
         self.emb_item = np.asarray(emb_item, np.float32)
         self.candidates = candidates
         self.user_block = user_block
+        self.mesh = mesh
         self.n_users, self.n_items = inter.n_users, inter.n_items
 
         self.ei_dev = jnp.asarray(self.emb_item)
@@ -260,20 +277,46 @@ class StrategyScorer:
     # ---- fused device pass ---------------------------------------------------
 
     def _raw_and_maxsim(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw dots + train max-sim for all users in one device dispatch, cached."""
+        """Raw dots + train max-sim for all users in one device dispatch, cached.
+
+        With a mesh, the user axis fans out over all devices
+        (`parallel/study.raw_and_maxsim_sharded`) — the TPU analog of the
+        reference's per-user process pools."""
         if self._raw_ms is None:
             h_max = _round_up(
                 max(1, int(np.diff(self.inter.train_indptr).max())), 128
             )
-            raw, ms = _raw_and_maxsim_all(
-                jnp.asarray(self.emb_user),
-                self.ei_pad,
-                jnp.asarray(self.candidates, dtype=jnp.int32),
-                jnp.asarray(self.inter.train_indptr, jnp.int32),
-                jnp.asarray(self.inter.train_indices, jnp.int32),
-                n_items=self.n_items,
-                h_max=h_max,
-            )
+            if self.mesh is not None:
+                from serendipity_tpu.parallel.study import (
+                    csr_start_deg,
+                    mesh_devices,
+                    pad_users,
+                    raw_and_maxsim_sharded,
+                )
+
+                nd = mesh_devices(self.mesh)
+                tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
+                raw, ms = raw_and_maxsim_sharded(
+                    self.mesh,
+                    jnp.asarray(pad_users(self.emb_user, nd)),
+                    self.ei_pad,
+                    jnp.asarray(pad_users(self.candidates.astype(np.int32), nd)),
+                    jnp.asarray(pad_users(tr_s, nd)),
+                    jnp.asarray(pad_users(tr_d, nd)),
+                    jnp.asarray(self.inter.train_indices, jnp.int32),
+                    n_items=self.n_items,
+                    h_max=h_max,
+                )
+            else:
+                raw, ms = _raw_and_maxsim_all(
+                    jnp.asarray(self.emb_user),
+                    self.ei_pad,
+                    jnp.asarray(self.candidates, dtype=jnp.int32),
+                    jnp.asarray(self.inter.train_indptr, jnp.int32),
+                    jnp.asarray(self.inter.train_indices, jnp.int32),
+                    n_items=self.n_items,
+                    h_max=h_max,
+                )
             self._raw_ms = (
                 np.asarray(raw[: self.n_users]),
                 np.asarray(ms[: self.n_users]),
