@@ -6,14 +6,18 @@ path of the reference's candidate generation + accuracy strategy (`recommend.py:
 (29,856 users x 40,960 items x 64 dims).
 
 Implementation: the Pallas fused kernel (`serendipity_tpu.ops.pallas_score`,
-"twopass" variant: per-row exact admission threshold from block maxima, then
-collect-only extraction of the ~k+O(k) true candidates) — bf16 MXU matmuls with
-the score tile kept in VMEM; bit-identical to `lax.top_k` (tie-spill fallback for
-pathological inputs).  Driver-measured 49.2 Gscores/s on v5e (BENCH_r02; the
-round-2b cursor-based pass-B extraction — two full-width reductions per candidate
-instead of four plus a mutated workspace — lifted the first twopass body's 34.7)
-vs 23.4 for the round-1 "insert" streaming kernel and ~6 for the XLA exact-2-stage
-path.
+"twopass4" default in round 3: per-row exact admission threshold from block
+maxima, then counted-trip key-encoded cursor extraction of the ~k true
+candidates) — bf16 MXU matmuls with the score tile kept in VMEM; bit-identical
+to `lax.top_k` (tie-spill fallback for pathological inputs).  Round-3 session
+measurement ~52 Gscores/s (+14% over the round-2 "twopass" body in a
+same-dispatch comparison; driver BENCH_r02 recorded 49.2 for twopass, up from
+23.4 round-1 "insert" and ~6 for the XLA exact-2-stage path).  The rest of the
+round-3 design space (9 variants incl. narrow/parallel/pipelined extraction and
+an id-collect + XLA-postlude split) measured WORSE — see the module docstring
+table in ops/pallas_score.py for the map and the cost model (pass-B extraction
+is bound by ~2 serial cross-lane reduction latencies per candidate; tau already
+admits only ~3% excess).
 
 Timing: sustained throughput — PASSES=8 full scoring passes per dispatch (inputs
 perturbed per pass so XLA cannot CSE them), one host round-trip + scalar fetch per

@@ -8,7 +8,7 @@ import pytest
 from serendipity_tpu.ops.pallas_score import fused_score_topk
 
 
-@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "subtile"])
+@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "twopass3", "twopass3c2", "twopass4", "blockwise", "parblock", "subtile"])
 @pytest.mark.parametrize("u,n,k", [(256, 1024, 20), (512, 2048, 10)])
 def test_fused_score_topk_exact(u, n, k, variant):
     rng = np.random.default_rng(0)
@@ -26,7 +26,7 @@ def test_fused_score_topk_exact(u, n, k, variant):
     assert (np.diff(np.asarray(v), axis=1) <= 1e-6).all()
 
 
-@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "subtile"])
+@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "twopass3", "twopass3c2", "twopass4", "blockwise", "parblock", "subtile"])
 def test_fused_score_topk_ties(variant):
     """Position-indexed masking must return distinct indices even with ties."""
     u, n, k = 256, 512, 8
@@ -50,9 +50,31 @@ def test_variants_identical():
     v1, i1 = fused_score_topk(
         jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
     )
-    for variant in ("insert", "twopass", "subtile"):
+    for variant in ("insert", "twopass", "twopass3", "twopass3c2", "twopass4", "twopass4b256", "unroll2", "blockwise", "parblock", "subtile"):
         v2, i2 = fused_score_topk(
             jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant=variant
         )
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2), err_msg=variant)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), err_msg=variant)
+
+
+def test_collect_variant_semantics():
+    """The id-collect variant (negative result on this chip: its XLA gather
+    postlude is slower than in-kernel value extraction, kept as a documented
+    design point): indices must match `lax.top_k` bit-for-bit; values are
+    recomputed by a batched d-contraction whose accumulation ORDER may differ
+    from the full GEMM's at the LSB on CPU, so they get allclose, not equality."""
+    rng = np.random.default_rng(5)
+    eu = rng.standard_normal((256, 64)).astype(np.float32)
+    ei = rng.standard_normal((4096, 64)).astype(np.float32)
+    v1, i1 = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
+    )
+    for variant in ("collect", "collect2"):
+        v2, i2 = fused_score_topk(
+            jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant=variant
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), err_msg=variant)
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5, err_msg=variant
+        )
