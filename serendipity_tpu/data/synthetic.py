@@ -20,7 +20,21 @@ def synthetic_interactions(
     zipf_exponent: float = 1.05,
     test_fraction: float = 0.2,
     seed: int = 0,
+    n_clusters: int = 0,
+    affinity: float = 0.8,
 ) -> Interactions:
+    """Power-law bipartite graph; optionally with LATENT CLUSTER structure.
+
+    With the default `n_clusters=0`, items are drawn i.i.d. from a global Zipf
+    — realistic degree skew, but NO learnable user-item affinity beyond
+    popularity (recall@k of any trained model is then bounded by the popularity
+    baseline; fine for throughput benchmarks, useless for quality studies).
+    With `n_clusters=K`, users and items are assigned uniformly to K latent
+    clusters and each interaction draws its item from the user's own cluster's
+    Zipf with probability `affinity` (else the global Zipf) — giving embedding
+    models real structure to recover, so warm-start/quality comparisons at
+    synthetic scale are meaningful.  Same degree-skew machinery either way.
+    """
     rng = np.random.default_rng(seed)
     # user activity: log-normal, min 2 so every user has train + test rows
     act = np.maximum(
@@ -33,6 +47,24 @@ def synthetic_interactions(
     probs = ranks ** (-zipf_exponent)
     probs /= probs.sum()
     items = rng.choice(n_items, size=total, p=probs)
+    if n_clusters > 0:
+        user_c = rng.integers(0, n_clusters, size=n_users)
+        item_c = rng.integers(0, n_clusters, size=n_items)
+        in_cluster = rng.random(total) < affinity
+        edge_c = user_c[users]
+        for c in range(n_clusters):
+            sel = in_cluster & (edge_c == c)
+            m = int(sel.sum())
+            if m == 0:
+                continue
+            members = np.flatnonzero(item_c == c)
+            if len(members) == 0:
+                continue
+            p_c = probs[members] / probs[members].sum()
+            # inverse-CDF sampling within the cluster's own Zipf weights
+            cdf = np.cumsum(p_c)
+            idx = np.searchsorted(cdf, rng.random(m), side="right")
+            items[sel] = members[np.minimum(idx, len(members) - 1)]
     # dedupe (user, item)
     pairs = np.unique(users * np.int64(n_items) + items)
     users = (pairs // n_items).astype(np.int64)

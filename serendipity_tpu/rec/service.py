@@ -119,7 +119,12 @@ class RetrievalService:
                 )
                 valid = jnp.arange(self.n_items + pad) < self.n_items
             v, idx = sharded_score_topk(
-                self.mesh, self.eu[jnp.asarray(user_ids)], ei, k, item_valid=valid
+                self.mesh, self.eu[jnp.asarray(user_ids)], ei, k,
+                item_valid=valid,
+                # unpadded catalogs take the fused Pallas scoring+top-k per
+                # shard (bit-identical; the kernel has no mask input, so padded
+                # tables keep the masked XLA path)
+                fused=valid is None,
             )
             return np.asarray(v), np.asarray(idx)
         v, idx = self._score_block(

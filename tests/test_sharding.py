@@ -111,3 +111,19 @@ def test_retrieval_service_mesh_path(mesh42, tiny_inter):
     scores = eu[uids] @ ei[: tiny_inter.n_items].T
     ref_v = np.sort(scores, axis=1)[:, ::-1][:, :5]
     np.testing.assert_allclose(np.sort(v, 1), np.sort(ref_v, 1), rtol=1e-4)
+
+
+def test_sharded_topk_fused_matches_xla(mesh42):
+    """The fused Pallas per-shard path must equal the XLA 2-stage path
+    bit-for-bit (same tie semantics), values and ids."""
+    rng = np.random.default_rng(4)
+    users = rng.standard_normal((8, 32)).astype(np.float32)
+    items = rng.standard_normal((256, 32)).astype(np.float32)
+    v0, i0 = sharded_score_topk(
+        mesh42, jnp.asarray(users), jnp.asarray(items), 10
+    )
+    v1, i1 = sharded_score_topk(
+        mesh42, jnp.asarray(users), jnp.asarray(items), 10, fused=True
+    )
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
