@@ -98,6 +98,11 @@ class EvalConfig:
     metrics: Tuple[str, ...] = ("precision", "recall", "ap", "ndcg", "mrr")
     # per-user ROC AUC over non-train items (`code/utils.py:265-274`)
     auc: bool = False
+    # fused masked-retrieval ranking eval: scoring + train-item masking + exact
+    # top-k in one Pallas kernel (ops/pallas_score.fused_score_topk_masked) —
+    # the [B, N] score matrix never reaches HBM.  Needs user_batch % 256 == 0
+    # and max topk <= 64; silently keeps the XLA path otherwise.
+    fused: bool = False
     # sparsity-level performance report (`LightGCN-tf/LightGCN.py:526-560`, --report)
     report: bool = False
 

@@ -687,6 +687,253 @@ def _fused_kernel_twopass4(
     topi_ref[:] = i_fin
 
 
+def pack_mask_bitmap(
+    indptr: "np.ndarray", indices: "np.ndarray", n_rows: int, n_items_pad: int,
+    *, item_tile: int = 1024, block: int = 128,
+):
+    """Bit-plane-packed per-row item masks for `fused_score_topk_masked`.
+
+    Layout contract (tied to item_tile=1024 / block=128): bit b of byte
+    (t*128 + j) masks item t*1024 + b*128 + j — i.e. within each 1024-item
+    tile, bit-plane b covers the CONTIGUOUS 128-item sub-block b, so the
+    kernel unpacks a tile's mask with 8 shift-and ops into 8 contiguous
+    [bu, 128] sub-block masks (no interleaved scatter).  Items in
+    [n_valid, n_items_pad) should be marked via `extra_masked`-style padding by
+    the caller (set their bits) so padded table rows never win.
+
+    Returns uint8 [n_rows, n_items_pad // 8].
+    """
+    import numpy as np
+
+    assert n_items_pad % item_tile == 0 and item_tile // block == 8
+    nbytes = n_items_pad // 8
+    bitmap = np.zeros((n_rows, nbytes), np.uint8)
+    rows = np.repeat(
+        np.arange(n_rows, dtype=np.int64), np.diff(indptr).astype(np.int64)
+    )
+    idx = np.asarray(indices, np.int64)
+    t, r = idx // item_tile, idx % item_tile
+    b, j = r // block, r % block
+    np.bitwise_or.at(bitmap, (rows, t * block + j), (1 << b).astype(np.uint8))
+    return bitmap
+
+
+def _fused_kernel_twopass4m(
+    eu_ref, ei_ref, bm8_ref, topv_ref, topi_ref, spill_ref, bm_scr,
+    *, k: int, item_tile: int, cbuf: int, block: int = 128,
+):
+    """Masked twopass4: per-row item exclusion via a bit-plane bitmap.
+
+    The reference's evaluation masks each user's train items out of the score
+    matrix before top-k (`Procedure.py:129-134`); XLA materializes the [B, N]
+    matrix to do it.  Here the mask rides along as `pack_mask_bitmap` bytes
+    (n/8 per row, VMEM-resident) and is applied to each score tile in
+    registers: 8 shift-and unpacks give the tile's 8 contiguous 128-column
+    sub-block masks, OR-folded into the scores as -inf BEFORE the block
+    maxima, so tau, the admission pass and the merge all see masked scores —
+    semantics identical to masking the full matrix.  A row whose tau
+    degenerates to -inf (pathologically over-masked) exits through the spill
+    flag to the masked XLA fallback, so results stay exact on any input.
+    Everything else is `_fused_kernel_twopass4`.
+    """
+    bu = eu_ref.shape[0]
+    n_items = ei_ref.shape[0]
+    n_tiles = n_items // item_tile
+    nb_tile = item_tile // block
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bu, item_tile), 1)
+    colsc = jax.lax.broadcasted_iota(jnp.int32, (bu, cbuf), 1)
+    big = jnp.int32(item_tile + 1)
+    big_id = jnp.int32(2 ** 30)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        spill_ref[0, 0] = 0
+
+    def score_tile(t_static):
+        tile = ei_ref[pl.ds(t_static * item_tile, item_tile), :]
+        s = jax.lax.dot_general(
+            eu_ref[:], tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bts = bm8_ref[:, pl.ds(t_static * block, block)].astype(jnp.int32)
+        masked = [
+            jnp.where(
+                ((bts >> b) & 1) > 0, -jnp.inf,
+                s[:, b * block:(b + 1) * block],
+            )
+            for b in range(nb_tile)
+        ]
+        return jnp.concatenate(masked, axis=1)
+
+    # ---- pass A: block maxima of MASKED scores -> tau -----------------------
+    nb_pad = bm_scr.shape[1]
+    bm_scr[:] = jnp.full((bu, nb_pad), -jnp.inf, jnp.float32)
+    for t in range(n_tiles):                                    # static unroll
+        s = score_tile(t)
+        bm = jnp.stack(
+            [jnp.max(s[:, b * block:(b + 1) * block], axis=1)
+             for b in range(nb_tile)],
+            axis=1,
+        )
+        bm_scr[:, t * nb_tile:(t + 1) * nb_tile] = bm
+
+    colsw = jax.lax.broadcasted_iota(jnp.int32, (bu, nb_pad), 1)
+
+    def tau_extract(j, st):
+        w, _ = st
+        m = jnp.max(w, axis=1)
+        am = jnp.min(
+            jnp.where(w >= m[:, None], colsw, jnp.int32(nb_pad + 1)), axis=1
+        )
+        w = jnp.where(colsw == am[:, None], -jnp.inf, w)
+        return w, m
+
+    _, tau = jax.lax.fori_loop(
+        0, k, tau_extract, (bm_scr[:], jnp.zeros((bu,), jnp.float32))
+    )
+    # over-masked rows (tau == -inf would admit everything): route to fallback
+    spill_ref[0, 0] = spill_ref[0, 0] + jnp.sum(
+        (~jnp.isfinite(tau)).astype(jnp.int32)
+    )
+
+    # ---- pass B: counted key-encoded extraction over masked scores ----------
+    def pass_b(t, st):
+        c_u, lost, bv, bi = st
+        s = score_tile(t)
+        key = jnp.where(s >= tau[:, None], cols, big)           # trip-invariant
+        cnt = jnp.sum((key < big).astype(jnp.int32), axis=1)
+        n_trips = jnp.max(cnt)
+        base = t * item_tile
+
+        def trip(_, st2):
+            c_u, lost, cursor, bv, bi = st2
+            am = jnp.min(jnp.where(key > cursor[:, None], key, big), axis=1)
+            has = am < big
+            val = jnp.sum(jnp.where(key == am[:, None], s, 0.0), axis=1)
+            ok = has & (c_u < cbuf)
+            put = ok[:, None] & (colsc == c_u[:, None])
+            bv = jnp.where(put, val[:, None], bv)
+            bi = jnp.where(put, (am + base)[:, None], bi)
+            c_u = c_u + ok.astype(jnp.int32)
+            lost = lost + jnp.sum((has & ~ok).astype(jnp.int32))
+            return c_u, lost, am, bv, bi
+
+        c_u, lost, _, bv, bi = jax.lax.fori_loop(
+            0, n_trips, trip,
+            (c_u, lost, jnp.full((bu,), -1, jnp.int32), bv, bi),
+        )
+        return c_u, lost, bv, bi
+
+    _, lost, bv_fin, bi_fin = jax.lax.fori_loop(
+        0, n_tiles, pass_b,
+        (
+            jnp.zeros((bu,), jnp.int32),
+            jnp.int32(0),
+            jnp.full((bu, cbuf), -jnp.inf, jnp.float32),
+            jnp.full((bu, cbuf), big_id, jnp.int32),
+        ),
+    )
+    spill_ref[0, 0] = spill_ref[0, 0] + lost
+
+    # ---- merge: identical to twopass ----------------------------------------
+    slots = jax.lax.broadcasted_iota(jnp.int32, (bu, k), 1)
+
+    def merge(j, st):
+        bv, bi, out_v, out_i = st
+        m = jnp.max(bv, axis=1)
+        is_m = bv >= m[:, None]
+        gid = jnp.min(jnp.where(is_m, bi, big_id), axis=1)
+        sel = bi == gid[:, None]
+        out_v = jnp.where(slots == j, m[:, None], out_v)
+        out_i = jnp.where(slots == j, gid[:, None], out_i)
+        bv = jnp.where(sel, -jnp.inf, bv)
+        return bv, bi, out_v, out_i
+
+    init = (
+        bv_fin, bi_fin,
+        jnp.full((bu, k), -jnp.inf, jnp.float32),
+        jnp.zeros((bu, k), jnp.int32),
+    )
+    _, _, v_fin, i_fin = jax.lax.fori_loop(0, k, merge, init)
+    topv_ref[:] = v_fin
+    topi_ref[:] = i_fin
+
+
+def _unpack_bitmap_xla(bitmap, n, item_tile=1024, block=128):
+    """[u, n/8] uint8 (pack_mask_bitmap layout) -> [u, n] bool, in XLA."""
+    u, nbytes = bitmap.shape
+    n_tiles = n // item_tile
+    bt = bitmap.astype(jnp.int32).reshape(u, n_tiles, block)
+    planes = [((bt >> b) & 1) > 0 for b in range(item_tile // block)]
+    return jnp.stack(planes, axis=2).reshape(u, n)  # [u, t, b, j] -> [u, n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "user_tile", "interpret"))
+def fused_score_topk_masked(
+    eu: jnp.ndarray,          # [U, D] query vectors
+    ei: jnp.ndarray,          # [N, D] item table, N % 1024 == 0 (pad + mask)
+    bitmap: jnp.ndarray,      # [U, N//8] uint8, pack_mask_bitmap layout
+    k: int = 20,
+    user_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact masked retrieval: top-k of (eu @ ei.T with bitmap items = -inf).
+
+    Bit-identical to masking the materialized score matrix and running
+    `lax.top_k` (first-occurrence ties); the mask is applied per score tile in
+    VMEM, so the [U, N] matrix never exists.  Pathological rows (tau -inf from
+    over-masking, tie-mass buffer spill) fall back to the masked XLA exact
+    path for the whole batch."""
+    u, d = eu.shape
+    n, _ = ei.shape
+    item_tile, block, cbuf = 1024, 128, 64
+    assert n % item_tile == 0 and n // block >= k and k <= cbuf
+    assert bitmap.shape == (u, n // 8)
+    user_tile = min(user_tile, u)
+    assert u % user_tile == 0
+    grid = (u // user_tile,)
+    kernel = functools.partial(
+        _fused_kernel_twopass4m, k=k, item_tile=item_tile, cbuf=cbuf, block=block,
+    )
+    topv, topi, spill = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((user_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((user_tile, n // 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((user_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((u, k), jnp.float32),
+            jax.ShapeDtypeStruct((u, k), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((user_tile, ((n // block + 127) // 128) * 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(eu, ei, bitmap)
+
+    def fallback(_):
+        from serendipity_tpu.ops.topk import topk_exact_2stage
+
+        scores = jax.lax.dot_general(
+            eu, ei, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(_unpack_bitmap_xla(bitmap, n), -jnp.inf, scores)
+        return topk_exact_2stage(scores, k)
+
+    return jax.lax.cond(
+        jnp.max(spill) > 0, fallback, lambda _: (topv, topi), None
+    )
+
+
 def _fused_kernel_twopass5(
     eu_ref, ei_ref, topv_ref, topi_ref, spill_ref, bm_scr,
     *, k: int, item_tile: int, cbuf: int, block: int = 128,

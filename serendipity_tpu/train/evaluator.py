@@ -107,6 +107,36 @@ def _eval_batch(
     return sums, jnp.sum(w)
 
 
+@partial(jax.jit, static_argnames=("max_k", "interpret"))
+def _eval_batch_fused(
+    all_u, all_i_pad, users, valid, bitmap_all, test_indptr, test_indices,
+    *, max_k: int, interpret: bool = False,
+):
+    """`_eval_batch` with scoring+masking+top-k fused in the Pallas masked
+    kernel (`ops/pallas_score.fused_score_topk_masked`) — the [b, N] score
+    matrix never reaches HBM.  Bit-identical to the XLA path for f32
+    embeddings (same -inf masking, same lax.top_k tie order; pinned in
+    tests/test_eval_extras.py).  For bf16 embeddings the two paths can differ
+    on near-ties: the XLA path's `@` emits bf16-ROUNDED scores while the
+    kernel ranks by f32-accumulated ones — the kernel is the more faithful to
+    the reference's f32 scoring (`Procedure.py:129-134`)."""
+    from serendipity_tpu.ops.pallas_score import fused_score_topk_masked
+
+    eu_b = all_u[users]
+    bm_b = bitmap_all[users]
+    _, top_items = fused_score_topk_masked(
+        eu_b, all_i_pad, bm_b, k=max_k, interpret=interpret
+    )
+    lo = test_indptr[users]
+    hi = test_indptr[users + 1]
+    hits = hit_matrix(top_items, lo, hi, test_indices)
+    truth_len = (hi - lo).astype(jnp.float32)
+    per_user = ranking_metrics_cumulative(hits, truth_len)
+    w = valid.astype(jnp.float32)[:, None]
+    sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
+    return sums, jnp.sum(w)
+
+
 @jax.jit
 def _auc_batch(
     all_u, all_i, users, valid, mask_rows, mask_items, pos_rows, pos_items,
@@ -172,6 +202,31 @@ class Evaluator:
         self.users_dev = jnp.asarray(self.users_batched)
         self.valid_dev = jnp.asarray(self.valid_batched)
 
+        # fused masked-retrieval path (`eval.fused`): per-user train masks as a
+        # bit-plane bitmap (ops/pallas_score.pack_mask_bitmap) so scoring +
+        # masking + exact top-k run in one Pallas kernel without materializing
+        # the [B, N] matrix.  Requires a 256-divisible user batch and k <= 64.
+        self._bitmap = None
+        self._n_pad = 0
+        if getattr(cfg, "fused", False):
+            n = data.n_items
+            n_pad = -(-n // 1024) * 1024
+            if b % 256 == 0 and self.max_k <= 64 and n_pad // 128 >= self.max_k:
+                from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
+
+                bm = pack_mask_bitmap(
+                    inter.train_indptr, inter.train_indices,
+                    inter.n_users, n_pad,
+                )
+                if n_pad > n:      # padded table rows never win, for any user
+                    pad_ptr = np.arange(2, dtype=np.int64) * (n_pad - n)
+                    pad_bm = pack_mask_bitmap(
+                        pad_ptr, np.arange(n, n_pad, dtype=np.int64), 1, n_pad
+                    )
+                    bm |= pad_bm
+                self._bitmap = jnp.asarray(bm)
+                self._n_pad = n_pad
+
         self._propagate = jax.jit(
             lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
         )
@@ -186,14 +241,33 @@ class Evaluator:
             all_u, all_i = all_emb
         totals: Dict[str, np.ndarray] = {}
         n = 0.0
-        for bi in range(self.users_dev.shape[0]):
-            sums, cnt = _eval_batch(
-                all_u, all_i,
-                self.users_dev[bi], self.valid_dev[bi],
-                self.mask_rows[bi], self.mask_items[bi],
-                self.data.test_indptr, self.data.test_indices,
-                max_k=self.max_k,
+        if self._bitmap is not None:
+            import jax as _jax
+
+            pad = self._n_pad - all_i.shape[0]
+            all_i_pad = (
+                jnp.concatenate(
+                    [all_i, jnp.zeros((pad, all_i.shape[1]), all_i.dtype)], 0
+                ) if pad else all_i
             )
+            interp = _jax.default_backend() != "tpu"
+        for bi in range(self.users_dev.shape[0]):
+            if self._bitmap is not None:
+                sums, cnt = _eval_batch_fused(
+                    all_u, all_i_pad,
+                    self.users_dev[bi], self.valid_dev[bi],
+                    self._bitmap,
+                    self.data.test_indptr, self.data.test_indices,
+                    max_k=self.max_k, interpret=interp,
+                )
+            else:
+                sums, cnt = _eval_batch(
+                    all_u, all_i,
+                    self.users_dev[bi], self.valid_dev[bi],
+                    self.mask_rows[bi], self.mask_items[bi],
+                    self.data.test_indptr, self.data.test_indices,
+                    max_k=self.max_k,
+                )
             n += float(cnt)
             for k, v in sums.items():
                 acc = totals.setdefault(k, np.zeros(self.max_k))

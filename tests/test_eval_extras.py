@@ -155,3 +155,35 @@ def test_timer_tape():
     assert rep.startswith("|a:") and "|b:" in rep
     timer.zero(["a"])
     assert timer.NAMED_TAPE["a"] == 0.0 and timer.COUNTS["b"] == 1
+
+
+def test_fused_eval_matches_xla_path():
+    """`eval.fused=true` (Pallas masked retrieval) must produce identical
+    metrics to the XLA masked-matrix path — same -inf masking, same top-k tie
+    order, same cumulative metric formulas."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from serendipity_tpu.config import ExperimentConfig, apply_overrides
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.evaluator import Evaluator
+    from serendipity_tpu.train.runner import build_model
+
+    inter = synthetic_interactions(300, 1500, avg_degree=12, seed=11)
+    cfg = apply_overrides(ExperimentConfig(), [
+        "eval.user_batch=256", "eval.topks=(10,)",
+    ])
+    data = build_device_data(inter, spmm_mode="edges")
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    rng = np.random.default_rng(0)
+    emb = (jnp.asarray(rng.standard_normal((inter.n_users, 64)), jnp.float32),
+           jnp.asarray(rng.standard_normal((inter.n_items, 64)), jnp.float32))
+    m0 = Evaluator(model, data, inter, cfg.eval).evaluate(None, all_emb=emb)
+    cfg2 = apply_overrides(cfg, ["eval.fused=true"])
+    ev = Evaluator(model, data, inter, cfg2.eval)
+    assert ev._bitmap is not None
+    m1 = ev.evaluate(None, all_emb=emb)
+    assert m0.keys() == m1.keys()
+    for k in m0:
+        assert m0[k] == m1[k], (k, m0[k], m1[k])
