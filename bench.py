@@ -145,7 +145,7 @@ def bench_train_step():
 
     # warmup/compile one chunk, then time whole chunks (scan of fresh sampled
     # steps; params/opt-state advance every step — nothing hoistable)
-    consts = data.spmm_split.consts if data.spmm_split is not None else None
+    consts = trainer.step_consts
     params, opt, key = state.params, state.opt_state, state.key
     params, opt, key, loss, _ = trainer._chunk_fn(params, opt, key, consts)
     float(loss)

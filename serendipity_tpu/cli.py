@@ -156,7 +156,7 @@ def cmd_eval(args) -> None:
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
     emb_u, emb_i = _load_embedding_pair(args.embeddings)
-    data = build_device_data(inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype)
+    data = build_device_data(inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype, sampler=cfg.train.sampler)
     model = build_model(cfg, inter.n_users, inter.n_items)
     import jax.numpy as jnp
 

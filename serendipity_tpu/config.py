@@ -74,6 +74,11 @@ class TrainConfig:
     patience: int = 5                   # early stopping steps (`utility/helper.py:38-53`)
     seed: int = 2020
     neg_resample_rounds: int = 16       # fixed-round device rejection sampling
+    # rejection-membership test: "bitmap" = one byte gather per draw into the
+    # plane-packed train bitmap (shared with the fused evaluator; bit-identical
+    # decisions to bisection for the same PRNG draws); "bisect" = per-draw
+    # binary search of the user's sorted row (no bitmap memory)
+    sampler: str = "bitmap"
     steps_per_epoch: int = 0            # 0 = ceil(n_train / batch_size)
     # steps per compiled scan: one epoch = several chunk calls.  Bounded because
     # compile time grows with scan length on remote-compile TPU toolchains; the

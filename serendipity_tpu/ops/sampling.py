@@ -32,8 +32,22 @@ def sample_bpr_batch(
     batch_size: int,
     resample_rounds: int = 16,
     search_iters: int = 0,        # 0 = ceil(log2(n_items)) + 1 (always enough)
+    bitmap: jnp.ndarray | None = None,   # [n_users, nbytes] uint8 membership
+                                         # bitmap (pack_mask_bitmap layout);
+                                         # replaces bisection when given
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (users, pos_items, neg_items), each int32 [batch_size]."""
+    """Returns (users, pos_items, neg_items), each int32 [batch_size].
+
+    Membership testing for the rejection rounds comes in two bit-identical
+    flavors (same PRNG draws -> same accept/reject decisions -> same outputs):
+
+      * bisection (`contains_in_rows`): ~log2(max_degree) dependent [R*B]
+        gathers per batch — latency-bound on TPU;
+      * bitmap (when `bitmap` is given): ONE byte gather per draw into the
+        plane-packed train bitmap (`ops/pallas_score.pack_mask_bitmap` layout:
+        item i -> byte (i>>10)*128 + (i&127), bit (i>>7)&7) — the same bitmap
+        the fused masked evaluator uses.
+    """
     import math
 
     k_user, k_pos, k_neg = jax.random.split(key, 3)
@@ -50,17 +64,25 @@ def sample_bpr_batch(
     cands = jax.random.randint(
         k_neg, (resample_rounds, batch_size), 0, n_items, dtype=jnp.int32
     )
-    # row segments hold <= n_items sorted entries, so log2(n_items)+1 bisection
-    # steps always converge — the previous fixed 32 wasted ~2/3 of the search
-    if search_iters <= 0:
-        search_iters = int(math.ceil(math.log2(max(n_items, 2)))) + 1
-    is_pos = contains_in_rows(
-        train_indices,
-        jnp.broadcast_to(lo, cands.shape).reshape(-1),
-        jnp.broadcast_to(hi, cands.shape).reshape(-1),
-        cands.reshape(-1),
-        n_iters=search_iters,
-    ).reshape(cands.shape)
+    if bitmap is not None:
+        nbytes = bitmap.shape[1]
+        byte_idx = (cands >> 10) * 128 + (cands & 127)
+        bit = (cands >> 7) & 7
+        flat = users[None, :].astype(jnp.int32) * nbytes + byte_idx
+        bytes_g = bitmap.reshape(-1)[flat.reshape(-1)].astype(jnp.int32)
+        is_pos = (((bytes_g >> bit.reshape(-1)) & 1) > 0).reshape(cands.shape)
+    else:
+        # row segments hold <= n_items sorted entries, so log2(n_items)+1
+        # bisection steps always converge — a fixed 32 wasted ~2/3 of the search
+        if search_iters <= 0:
+            search_iters = int(math.ceil(math.log2(max(n_items, 2)))) + 1
+        is_pos = contains_in_rows(
+            train_indices,
+            jnp.broadcast_to(lo, cands.shape).reshape(-1),
+            jnp.broadcast_to(hi, cands.shape).reshape(-1),
+            cands.reshape(-1),
+            n_iters=search_iters,
+        ).reshape(cands.shape)
     # first non-positive round per slot; if all rounds hit positives keep the last draw
     first_ok = jnp.argmax(~is_pos, axis=0)
     any_ok = jnp.any(~is_pos, axis=0)

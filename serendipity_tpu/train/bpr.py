@@ -86,10 +86,13 @@ class BPRTrainer:
         tcfg = cfg.train
         steps = self.chunk
 
-        def chunk_fn(params, opt_state, key, spmm_consts):
-            # bind the SpMM closures from the consts ARGUMENT at trace time
-            # (`ops/spmm_common.SplitSpmm`): the layout arrays enter the step as
-            # inputs, not as HLO constants
+        def chunk_fn(params, opt_state, key, consts):
+            # bind the SpMM closures (and the sampler bitmap) from the consts
+            # ARGUMENT at trace time (`ops/spmm_common.SplitSpmm`): the layout
+            # arrays enter the step as inputs, not as HLO constants — required
+            # under multi-controller `jax.distributed` and keeps hundreds of MB
+            # out of the remote-compiled HLO
+            spmm_consts, bitmap = consts
             if data.spmm_split is not None:
                 spmm_ops = data.spmm_split.bind(spmm_consts)
             else:
@@ -107,6 +110,7 @@ class BPRTrainer:
                     tcfg.batch_size,
                     tcfg.neg_resample_rounds,
                     search_iters=data.search_iters,
+                    bitmap=bitmap,
                 )
                 if self.batch_sharding is not None:
                     users = jax.lax.with_sharding_constraint(users, self.batch_sharding)
@@ -139,10 +143,17 @@ class BPRTrainer:
 
         return chunk_fn
 
-    def train_epoch(self, state: TrainState) -> Tuple[TrainState, float, float]:
-        consts = (
-            self.data.spmm_split.consts if self.data.spmm_split is not None else None
+    @property
+    def step_consts(self):
+        """The argument-passed constants of one chunk call: (SpMM layout
+        pytree, sampler bitmap) — see chunk_fn."""
+        return (
+            self.data.spmm_split.consts if self.data.spmm_split is not None else None,
+            self.data.train_bitmap,
         )
+
+    def train_epoch(self, state: TrainState) -> Tuple[TrainState, float, float]:
+        consts = self.step_consts
         losses, mf_losses = [], []
         for _ in range(self.n_chunks):
             params, opt_state, key, loss, mf_loss = self._chunk_fn(

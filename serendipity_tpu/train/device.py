@@ -38,6 +38,12 @@ class DeviceData:
     # bisection steps that certainly resolve membership in any user's sorted
     # train row: ceil(log2(max degree)) + 1 (static, from host data)
     search_iters: int = 32
+    # plane-packed train-membership bitmap ([n_users, pad1024(n_items)//8]
+    # uint8, `ops/pallas_score.pack_mask_bitmap` layout), shared by the
+    # bitmap negative sampler (1 byte gather per draw instead of a bisection
+    # chain) and the fused masked evaluator.  Passed into jitted steps as an
+    # ARGUMENT (multi-controller-safe), never a closure constant.
+    train_bitmap: jnp.ndarray | None = None
 
 
 def build_device_data(
@@ -49,6 +55,7 @@ def build_device_data(
     joint: bool = False,
     spmm_mode: str = "auto",
     compute_dtype: str = "float32",
+    sampler: str = "bitmap",
 ) -> DeviceData:
     """`spmm_mode` selects the propagation kernel family:
 
@@ -116,7 +123,27 @@ def build_device_data(
         spmm_ops=spmm_split.ops() if spmm_split is not None else None,
         spmm_split=spmm_split,
         search_iters=_search_iters(inter),
+        train_bitmap=_train_bitmap(inter) if sampler == "bitmap" else None,
     )
+
+
+def _train_bitmap(inter: Interactions):
+    from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
+
+    n_pad = -(-inter.n_items // 1024) * 1024
+    bm = pack_mask_bitmap(
+        inter.train_indptr, inter.train_indices, inter.n_users, n_pad
+    )
+    if n_pad > inter.n_items:
+        # mark the pad item range for every row: sampler draws never reach it
+        # (cands < n_items) and the fused evaluator needs padded table rows
+        # masked — one bitmap serves both
+        pad_ptr = np.arange(2, dtype=np.int64) * (n_pad - inter.n_items)
+        pad_bm = pack_mask_bitmap(
+            pad_ptr, np.arange(inter.n_items, n_pad, dtype=np.int64), 1, n_pad
+        )
+        bm |= pad_bm
+    return jnp.asarray(bm)
 
 
 def _search_iters(inter: Interactions) -> int:

@@ -212,19 +212,25 @@ class Evaluator:
             n = data.n_items
             n_pad = -(-n // 1024) * 1024
             if b % 256 == 0 and self.max_k <= 64 and n_pad // 128 >= self.max_k:
-                from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
+                if (data.train_bitmap is not None
+                        and data.train_bitmap.shape == (inter.n_users, n_pad // 8)):
+                    # the bitmap sampler's bitmap already carries the pad-item
+                    # bits (train/device.py:_train_bitmap) — share it
+                    self._bitmap = data.train_bitmap
+                else:
+                    from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
 
-                bm = pack_mask_bitmap(
-                    inter.train_indptr, inter.train_indices,
-                    inter.n_users, n_pad,
-                )
-                if n_pad > n:      # padded table rows never win, for any user
-                    pad_ptr = np.arange(2, dtype=np.int64) * (n_pad - n)
-                    pad_bm = pack_mask_bitmap(
-                        pad_ptr, np.arange(n, n_pad, dtype=np.int64), 1, n_pad
+                    bm = pack_mask_bitmap(
+                        inter.train_indptr, inter.train_indices,
+                        inter.n_users, n_pad,
                     )
-                    bm |= pad_bm
-                self._bitmap = jnp.asarray(bm)
+                    if n_pad > n:  # padded table rows never win, for any user
+                        pad_ptr = np.arange(2, dtype=np.int64) * (n_pad - n)
+                        pad_bm = pack_mask_bitmap(
+                            pad_ptr, np.arange(n, n_pad, dtype=np.int64), 1, n_pad
+                        )
+                        bm |= pad_bm
+                    self._bitmap = jnp.asarray(bm)
                 self._n_pad = n_pad
 
         self._propagate = jax.jit(

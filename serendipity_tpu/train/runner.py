@@ -111,7 +111,7 @@ def run_training(
             _build_sharded(cfg, inter, pretrained)
         )
     else:
-        data = build_device_data(inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype)
+        data = build_device_data(inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype, sampler=cfg.train.sampler)
         model = build_model(cfg, inter.n_users, inter.n_items)
         trainer = BPRTrainer(cfg, model, data)
         evaluator = Evaluator(model, data, inter, cfg.eval)

@@ -194,3 +194,37 @@ def test_auc_rows_degenerate_rows():
     out = np.asarray(auc_rows(s, pos, valid))
     assert out[0] == 0.0 and out[1] == 0.0  # no-neg / no-pos rows
     assert out[2] == 1.0  # single top-ranked positive
+
+
+def test_bitmap_sampler_matches_bisection():
+    """The bitmap membership test must reproduce the bisection sampler's output
+    BIT-FOR-BIT for the same PRNG key (same draws -> same accept/reject)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
+    from serendipity_tpu.ops.sampling import sample_bpr_batch
+
+    inter = synthetic_interactions(500, 2000, avg_degree=30, seed=5)
+    n_pad = -(-inter.n_items // 1024) * 1024
+    bitmap = jnp.asarray(pack_mask_bitmap(
+        inter.train_indptr, inter.train_indices, inter.n_users, n_pad))
+    valid = jnp.asarray(
+        np.nonzero(np.diff(inter.train_indptr) > 0)[0].astype(np.int32))
+    indptr = jnp.asarray(inter.train_indptr.astype(np.int32))
+    indices = jnp.asarray(inter.train_indices.astype(np.int32))
+    for seed in (0, 7):
+        key = jax.random.PRNGKey(seed)
+        a = sample_bpr_batch(key, valid, indptr, indices, inter.n_items, 512)
+        b = sample_bpr_batch(key, valid, indptr, indices, inter.n_items, 512,
+                             bitmap=bitmap)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # sanity: negatives are never positives of their user
+        users, pos, neg = map(np.asarray, b)
+        for u, n_ in zip(users[:100], neg[:100]):
+            row = inter.train_indices[
+                inter.train_indptr[u]:inter.train_indptr[u + 1]]
+            assert n_ not in row or len(row) > 0.9 * inter.n_items
