@@ -248,9 +248,9 @@ class BPRTrainer:
         `emb_item.npy` contract (`LightGCN.py:707-708`, `code/main.py:40-41`)."""
         import numpy as np
 
-        all_u, all_i = jax.jit(
-            lambda p: self.model.propagate(p, self.data.adj, spmm_ops=self.data.spmm_ops)
-        )(state.params)
+        from serendipity_tpu.train.device import propagate_fn
+
+        all_u, all_i = propagate_fn(self.model, self.data)(state.params)
         # numpy has no bfloat16 — export as f32 regardless of compute dtype
         return (
             np.asarray(all_u.astype(jnp.float32)),

@@ -151,3 +151,26 @@ def _search_iters(inter: Interactions) -> int:
 
     max_deg = int(np.diff(inter.train_indptr).max(initial=1))
     return int(math.ceil(math.log2(max(max_deg, 2)))) + 1
+
+
+def propagate_fn(model, data: DeviceData):
+    """Jitted full-graph propagation with SpMM layouts passed as ARGUMENTS.
+
+    Closing a jit over `data.spmm_ops` embeds the bound layout arrays (hybrid
+    dense head blocks: hundreds of MB at amazon-book scale) into the compiled
+    HLO — which a remote-compile service rejects outright (HTTP 413) and
+    multi-controller runs cannot fetch.  This binds `data.spmm_split.consts`
+    inside the trace instead, like the training chunk does.
+    """
+    import jax
+
+    def fn(p, spmm_consts):
+        ops = (
+            data.spmm_split.bind(spmm_consts)
+            if data.spmm_split is not None else data.spmm_ops
+        )
+        return model.propagate(p, data.adj, spmm_ops=ops)
+
+    jitted = jax.jit(fn)
+    consts = data.spmm_split.consts if data.spmm_split is not None else None
+    return lambda p: jitted(p, consts)

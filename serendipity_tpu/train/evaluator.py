@@ -233,9 +233,9 @@ class Evaluator:
                     self._bitmap = jnp.asarray(bm)
                 self._n_pad = n_pad
 
-        self._propagate = jax.jit(
-            lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
-        )
+        from serendipity_tpu.train.device import propagate_fn
+
+        self._propagate = propagate_fn(model, data)
 
     def evaluate(
         self, params: Params, all_emb: Optional[tuple] = None
@@ -320,9 +320,9 @@ def sparsity_report(
     (uids -> Evaluator) lets the mesh path substitute a ShardedEvaluator."""
     groups, states = sparsity_split(inter)
     if all_emb is None:
-        all_emb = jax.jit(
-            lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
-        )(params)
+        from serendipity_tpu.train.device import propagate_fn
+
+        all_emb = propagate_fn(model, data)(params)
     factory = evaluator_factory or (
         lambda uids: Evaluator(model, data, inter, cfg, user_subset=uids)
     )
