@@ -117,7 +117,52 @@ def main():
         rec.update(bench_train_step())
     except Exception as e:  # train bench must never cost the headline metric
         rec["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        rec.update(bench_eval())
+    except Exception as e:
+        rec["eval_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(rec))
+
+
+def bench_eval():
+    """Full-catalog masked ranking-eval throughput at gowalla scale.
+
+    The reference evaluates by materializing masked [B, N] score matrices and
+    running top-k per batch (C++ thread pool / torch.topk); here the fused
+    masked Pallas kernel (`eval.fused`) scores, masks, and selects in VMEM.
+    Reports users/s over the whole catalog (all test users, train-item
+    masking, cumulative metrics at k=20)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from serendipity_tpu.config import ExperimentConfig, apply_overrides
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.evaluator import Evaluator
+    from serendipity_tpu.train.runner import build_model
+
+    cfg = apply_overrides(ExperimentConfig(), ["eval.fused=true"])
+    inter = synthetic_interactions(29858, 40981, avg_degree=35, seed=0)
+    data = build_device_data(inter, spmm_mode="edges")
+    model = build_model(cfg, inter.n_users, inter.n_items)
+    rng = np.random.default_rng(0)
+    emb = (jnp.asarray(rng.standard_normal((inter.n_users, 64)), jnp.bfloat16),
+           jnp.asarray(rng.standard_normal((inter.n_items, 64)), jnp.bfloat16))
+    ev = Evaluator(model, data, inter, cfg.eval)
+    n_users_eval = int(np.sum(np.diff(inter.test_indptr) > 0))
+    ev.evaluate(None, all_emb=emb)                     # compile
+    best = np.inf
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        ev.evaluate(None, all_emb=emb)
+        best = min(best, _time.perf_counter() - t0)
+    return {
+        "eval_users_per_s": round(n_users_eval / best),
+        "eval_full_catalog_s": round(best, 3),
+        "eval_fused": ev._bitmap is not None,
+    }
 
 
 def bench_train_step():
