@@ -46,6 +46,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -117,10 +118,17 @@ def main():
         rec.update(bench_train_step())
     except Exception as e:  # train bench must never cost the headline metric
         rec["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        rec.update(bench_eval())
-    except Exception as e:
-        rec["eval_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    # The fused-eval bench is gated off by default: the masked Pallas kernel
+    # measured a ~10 min Mosaic compile at this shape (static 41-tile unroll x
+    # mask unpacking), which would triple the driver's bench wall for one
+    # field.  Session-measured numbers live in DESIGN.md SS7; set
+    # STPU_BENCH_EVAL=1 to include them here.
+    if os.environ.get("STPU_BENCH_EVAL"):
+        print(json.dumps(rec), flush=True)   # keep a valid line if eval dies
+        try:
+            rec.update(bench_eval())
+        except Exception as e:
+            rec["eval_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(rec))
 
 

@@ -105,7 +105,7 @@ class EvalConfig:
     auc: bool = False
     # fused masked-retrieval ranking eval: scoring + train-item masking + exact
     # top-k in one Pallas kernel (ops/pallas_score.fused_score_topk_masked) —
-    # the [B, N] score matrix never reaches HBM.  Needs user_batch % 256 == 0
+    # the [B, N] score matrix never reaches HBM.  Needs user_batch % 128 == 0
     # and max topk <= 64; silently keeps the XLA path otherwise.
     fused: bool = False
     # sparsity-level performance report (`LightGCN-tf/LightGCN.py:526-560`, --report)

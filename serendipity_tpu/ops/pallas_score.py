@@ -874,7 +874,9 @@ def fused_score_topk_masked(
     ei: jnp.ndarray,          # [N, D] item table, N % 1024 == 0 (pad + mask)
     bitmap: jnp.ndarray,      # [U, N//8] uint8, pack_mask_bitmap layout
     k: int = 20,
-    user_tile: int = 256,
+    user_tile: int = 128,     # 256 exceeds the 16 MiB scoped-VMEM budget at
+                              # 41k-item catalogs (mask-unpack temporaries put
+                              # it 584 KB over; measured on v5e)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact masked retrieval: top-k of (eu @ ei.T with bitmap items = -inf).

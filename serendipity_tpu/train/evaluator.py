@@ -205,13 +205,13 @@ class Evaluator:
         # fused masked-retrieval path (`eval.fused`): per-user train masks as a
         # bit-plane bitmap (ops/pallas_score.pack_mask_bitmap) so scoring +
         # masking + exact top-k run in one Pallas kernel without materializing
-        # the [B, N] matrix.  Requires a 256-divisible user batch and k <= 64.
+        # the [B, N] matrix.  Requires a 128-divisible user batch and k <= 64.
         self._bitmap = None
         self._n_pad = 0
         if getattr(cfg, "fused", False):
             n = data.n_items
             n_pad = -(-n // 1024) * 1024
-            if b % 256 == 0 and self.max_k <= 64 and n_pad // 128 >= self.max_k:
+            if b % 128 == 0 and self.max_k <= 64 and n_pad // 128 >= self.max_k:
                 if (data.train_bitmap is not None
                         and data.train_bitmap.shape == (inter.n_users, n_pad // 8)):
                     # the bitmap sampler's bitmap already carries the pad-item
@@ -245,8 +245,8 @@ class Evaluator:
             all_u, all_i = self._propagate(params)
         else:
             all_u, all_i = all_emb
-        totals: Dict[str, np.ndarray] = {}
-        n = 0.0
+        totals: Dict[str, jnp.ndarray] = {}
+        n = None
         if self._bitmap is not None:
             import jax as _jax
 
@@ -274,14 +274,19 @@ class Evaluator:
                     self.data.test_indptr, self.data.test_indices,
                     max_k=self.max_k,
                 )
-            n += float(cnt)
+            # accumulate ON DEVICE: forcing each batch to the host (np.asarray)
+            # serializes one full tunnel RPC per batch (~77 ms x n_batches,
+            # dominating eval wall time); keeping the adds as device values
+            # lets the per-batch dispatches pipeline, with one sync at the end
+            n = cnt if n is None else n + cnt
             for k, v in sums.items():
-                acc = totals.setdefault(k, np.zeros(self.max_k))
-                acc += np.asarray(v)
+                totals[k] = v if k not in totals else totals[k] + v
+        n = max(float(n), 1.0)
         out: Dict[str, float] = {}
         for metric in self.cfg.metrics:
+            host = np.asarray(totals[metric])
             for k in self.cfg.topks:
-                out[f"{metric}@{k}"] = float(totals[metric][k - 1] / max(n, 1.0))
+                out[f"{metric}@{k}"] = float(host[k - 1] / n)
         return out
 
     def evaluate_auc(
