@@ -47,6 +47,7 @@ Prints ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -124,7 +125,9 @@ def main():
     # field.  Session-measured numbers live in DESIGN.md SS7; set
     # STPU_BENCH_EVAL=1 to include them here.
     if os.environ.get("STPU_BENCH_EVAL"):
-        print(json.dumps(rec), flush=True)   # keep a valid line if eval dies
+        # safety copy to STDERR (keeps the record if eval dies mid-dispatch);
+        # stdout carries exactly ONE JSON line either way
+        print(json.dumps(rec), file=sys.stderr, flush=True)
         try:
             rec.update(bench_eval())
         except Exception as e:

@@ -156,7 +156,13 @@ def cmd_eval(args) -> None:
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
     emb_u, emb_i = _load_embedding_pair(args.embeddings)
-    data = build_device_data(inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype, sampler=cfg.train.sampler)
+    # eval never samples negatives, so only build the (potentially GB-scale)
+    # train bitmap when the fused masked evaluator actually consumes it
+    data = build_device_data(
+        inter, adj_type=cfg.model.adj_type, spmm_mode=cfg.model.spmm,
+        compute_dtype=cfg.model.compute_dtype,
+        sampler="bitmap" if cfg.eval.fused else "bisect",
+    )
     model = build_model(cfg, inter.n_users, inter.n_items)
     import jax.numpy as jnp
 

@@ -65,11 +65,13 @@ def sample_bpr_batch(
         k_neg, (resample_rounds, batch_size), 0, n_items, dtype=jnp.int32
     )
     if bitmap is not None:
-        nbytes = bitmap.shape[1]
         byte_idx = (cands >> 10) * 128 + (cands & 127)
         bit = (cands >> 7) & 7
-        flat = users[None, :].astype(jnp.int32) * nbytes + byte_idx
-        bytes_g = bitmap.reshape(-1)[flat.reshape(-1)].astype(jnp.int32)
+        # 2-D gather (row, byte) rather than a flattened index: n_users * nbytes
+        # can exceed int32 range at >ML-25M scale, which would silently wrap
+        # under jit; per-axis indices stay well inside int32.
+        rows = jnp.broadcast_to(users[None, :].astype(jnp.int32), cands.shape)
+        bytes_g = bitmap[rows.reshape(-1), byte_idx.reshape(-1)].astype(jnp.int32)
         is_pos = (((bytes_g >> bit.reshape(-1)) & 1) > 0).reshape(cands.shape)
     else:
         # row segments hold <= n_items sorted entries, so log2(n_items)+1

@@ -52,12 +52,16 @@ def sharded_score_topk(
     item_valid: Optional[jnp.ndarray] = None,  # [N_pad] bool; False rows never win
     fused: bool = False,         # Pallas fused scoring+top-k per shard (needs
                                  # item_valid=None: the kernel has no mask input)
+    user_item_mask: Optional[jnp.ndarray] = None,  # [B, N_pad] bool; True cells
+                                 # never win (per-user train-item exclusion,
+                                 # sharded (data, model))
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (top_scores [B,k], top_item_ids [B,k]) with global item ids."""
 
-    def local(u, it, valid):
+    def local(u, it, valid, umask):
         fused_out = (
-            _fused_local_topk(u, it, k) if fused and valid is None else None
+            _fused_local_topk(u, it, k)
+            if fused and valid is None and umask is None else None
         )
         if fused_out is not None:
             v, idx = fused_out
@@ -67,6 +71,8 @@ def sharded_score_topk(
             )  # [b_local, n_local]
             if valid is not None:
                 scores = jnp.where(valid[None, :], scores, mask_value)
+            if umask is not None:
+                scores = jnp.where(umask, mask_value, scores)
             # exact chunked top-k: same values/tie-order as lax.top_k, ~10x
             # cheaper than the full per-row sort at catalog widths (ops/topk.py)
             v, idx = topk_exact_2stage(scores, k)
@@ -77,7 +83,12 @@ def sharded_score_topk(
         v2, sel = jax.lax.top_k(v_all, k)
         return v2, jnp.take_along_axis(i_all, sel, axis=1)
 
-    in_specs = (P("data", None), P("model", None), P("model") if item_valid is not None else None)
+    in_specs = (
+        P("data", None),
+        P("model", None),
+        P("model") if item_valid is not None else None,
+        P("data", "model") if user_item_mask is not None else None,
+    )
     fn = jax.shard_map(
         partial(local),
         mesh=mesh,
@@ -85,4 +96,4 @@ def sharded_score_topk(
         out_specs=(P("data", None), P("data", None)),
         check_vma=False,
     )
-    return fn(user_vecs, item_table, item_valid)
+    return fn(user_vecs, item_table, item_valid, user_item_mask)

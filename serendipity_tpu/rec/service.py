@@ -118,13 +118,21 @@ class RetrievalService:
                     [ei, jnp.zeros((pad, ei.shape[1]), ei.dtype)], axis=0
                 )
                 valid = jnp.arange(self.n_items + pad) < self.n_items
+            # per-user train-item exclusion is honored on the mesh path too:
+            # the [B, N_pad] mask shards (data, model) alongside the scores
+            umask = None
+            if exclude_train and mask.any():
+                if pad:
+                    mask = np.pad(mask, ((0, 0), (0, pad)))
+                umask = jnp.asarray(mask)
             v, idx = sharded_score_topk(
                 self.mesh, self.eu[jnp.asarray(user_ids)], ei, k,
                 item_valid=valid,
-                # unpadded catalogs take the fused Pallas scoring+top-k per
-                # shard (bit-identical; the kernel has no mask input, so padded
-                # tables keep the masked XLA path)
-                fused=valid is None,
+                # unmasked, unpadded catalogs take the fused Pallas
+                # scoring+top-k per shard (bit-identical; the kernel has no
+                # mask input, so masked/padded tables keep the XLA path)
+                fused=valid is None and umask is None,
+                user_item_mask=umask,
             )
             return np.asarray(v), np.asarray(idx)
         v, idx = self._score_block(

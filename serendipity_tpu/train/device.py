@@ -56,6 +56,7 @@ def build_device_data(
     spmm_mode: str = "auto",
     compute_dtype: str = "float32",
     sampler: str = "bitmap",
+    bitmap_budget_bytes: int = 2 << 30,
 ) -> DeviceData:
     """`spmm_mode` selects the propagation kernel family:
 
@@ -123,14 +124,26 @@ def build_device_data(
         spmm_ops=spmm_split.ops() if spmm_split is not None else None,
         spmm_split=spmm_split,
         search_iters=_search_iters(inter),
-        train_bitmap=_train_bitmap(inter) if sampler == "bitmap" else None,
+        train_bitmap=(
+            _train_bitmap(inter, budget_bytes=bitmap_budget_bytes)
+            if sampler == "bitmap" else None
+        ),
     )
 
 
-def _train_bitmap(inter: Interactions):
+def _train_bitmap(inter: Interactions, budget_bytes: int | None = None):
     from serendipity_tpu.ops.pallas_score import pack_mask_bitmap
 
     n_pad = -(-inter.n_items // 1024) * 1024
+    if budget_bytes is not None and inter.n_users * (n_pad // 8) > budget_bytes:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "train bitmap would be %.1f GB (> %.1f GB budget); "
+            "falling back to bisection sampler",
+            inter.n_users * (n_pad // 8) / 2**30, budget_bytes / 2**30,
+        )
+        return None
     bm = pack_mask_bitmap(
         inter.train_indptr, inter.train_indices, inter.n_users, n_pad
     )

@@ -112,6 +112,19 @@ def test_retrieval_service_mesh_path(mesh42, tiny_inter):
     ref_v = np.sort(scores, axis=1)[:, ::-1][:, :5]
     np.testing.assert_allclose(np.sort(v, 1), np.sort(ref_v, 1), rtol=1e-4)
 
+    # exclude_train must be honored on the mesh path too (train items are
+    # masked to -inf before the per-shard top-k) and match the single-chip path
+    vm, im = svc_mesh.recommend(uids, k=5, exclude_train=True)
+    vs, _ = svc.recommend(uids, k=5, exclude_train=True)
+    for r, u in enumerate(uids):
+        train = set(tiny_inter.train_items_of(int(u)).tolist())
+        assert not (set(im[r].tolist()) & train)
+    masked = scores.copy()
+    for r, u in enumerate(uids):
+        masked[r, tiny_inter.train_items_of(int(u))] = -np.inf
+    ref_vm = np.sort(masked, axis=1)[:, ::-1][:, :5]
+    np.testing.assert_allclose(np.sort(vm, 1), np.sort(ref_vm, 1), rtol=1e-4)
+
 
 def test_sharded_topk_fused_matches_xla(mesh42):
     """The fused Pallas per-shard path must equal the XLA 2-stage path
