@@ -192,6 +192,99 @@ def ser2_sharded(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "mesh", "k_c", "num_fold", "n_items", "h_max", "block", "bin_eps"
+    ),
+)
+def _candidates_sharded_jit(
+    mesh: Mesh,
+    key: jnp.ndarray,
+    eu: jnp.ndarray,            # [U_pad, D]   row-sharded
+    ei: jnp.ndarray,            # [N, D]       replicated
+    uid: jnp.ndarray,           # [U_pad]      global user ids, row-sharded
+    tr_start: jnp.ndarray, tr_deg: jnp.ndarray, tr_idx: jnp.ndarray,
+    n_keep: jnp.ndarray,        # [U_pad] int32, row-sharded
+    k_c: int, num_fold: int, n_items: int, h_max: int, block: int,
+    bin_eps: float,
+) -> jnp.ndarray:
+    """Sharded `rec/candidates._candidates_all`: global min/max via pmin/pmax,
+    then per-device stratified sampling over the local user slice.  Per-user
+    keyed priorities make the result identical to the single-chip path."""
+    from serendipity_tpu.rec.candidates import _block_candidates, _minmax_all
+
+    axes = flat_axes(mesh)
+
+    def local(key, eu_l, uid_l, tr_s, tr_d, nk_l, ei, tr_idx):
+        u_local = eu_l.shape[0]
+        mn_l, mx_l = _minmax_all(eu_l, ei, True, min(block, u_local))
+        mn = jax.lax.pmin(mn_l, axes)
+        mx = jax.lax.pmax(mx_l, axes) + jnp.float32(bin_eps)
+
+        def blk(rows):
+            hist = padded_rows_start_deg(
+                tr_s[rows], tr_d[rows], tr_idx, h_max, n_items
+            )
+            b = rows.shape[0]
+            train_mask = (
+                jnp.zeros((b, n_items + 1), jnp.bool_)
+                .at[jnp.arange(b)[:, None], hist]
+                .set(True)[:, :n_items]
+            )
+            return (
+                _block_candidates(
+                    key, eu_l[rows], ei, uid_l[rows], train_mask, nk_l[rows],
+                    mn, mx, k_c, num_fold, n_items,
+                ),
+            )
+
+        out = loop_user_blocks(blk, u_local, block=min(block, u_local))[0]
+        return out[:u_local]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axes, None), P(axes), P(axes), P(axes), P(axes), P(), P(),
+        ),
+        out_specs=P(axes, None),
+        check_vma=False,
+    )(key, eu, uid, tr_start, tr_deg, n_keep, ei, tr_idx)
+
+
+def candidates_sharded(
+    mesh: Mesh,
+    key: jnp.ndarray,
+    inter,
+    emb_user: np.ndarray,
+    emb_item: np.ndarray,
+    n_keep: np.ndarray,
+    *,
+    k_c: int, num_fold: int, bin_eps: float, h_max: int, block: int,
+) -> jnp.ndarray:
+    """Host wrapper: pad the user axis to the device count (pad rows DUPLICATE
+    the last user so the global min/max is unchanged) and fan out."""
+    nd = mesh_devices(mesh)
+    u = inter.n_users
+    eu = np.asarray(emb_user, np.float32)
+    pad = (-u) % nd
+    if pad:
+        eu = np.concatenate([eu, np.repeat(eu[-1:], pad, axis=0)], axis=0)
+    tr_s, tr_d = csr_start_deg(inter.train_indptr)
+    uid = np.minimum(np.arange(u + pad, dtype=np.int32), u - 1)
+    return _candidates_sharded_jit(
+        mesh, key,
+        jnp.asarray(eu), jnp.asarray(emb_item, jnp.float32),
+        jnp.asarray(uid),
+        jnp.asarray(pad_users(tr_s, nd)), jnp.asarray(pad_users(tr_d, nd)),
+        jnp.asarray(inter.train_indices, jnp.int32),
+        jnp.asarray(pad_users(np.asarray(n_keep, np.int32), nd)),
+        k_c=k_c, num_fold=num_fold, n_items=inter.n_items, h_max=h_max,
+        block=block, bin_eps=bin_eps,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("mesh", "k", "div_weight", "degenerate_diag", "rel_factor"),
 )
 def dpp_positions_sharded(

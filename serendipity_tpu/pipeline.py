@@ -65,7 +65,9 @@ def run_seed(
     cand = cached("candidate.npy")
     if cand is None or cand.shape != (inter.n_users, rcfg.n_candidates):
         with timer("candidates"):
-            cand = create_candidates(inter, emb_user, emb_item, rcfg, seed=seed)
+            cand = create_candidates(
+                inter, emb_user, emb_item, rcfg, seed=seed, mesh=mesh
+            )
     scorer = StrategyScorer(inter, emb_user, emb_item, cand, mesh=mesh)
     with timer("strategy_scores"):
         scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)

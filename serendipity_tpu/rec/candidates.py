@@ -3,21 +3,35 @@
 Capability match for `create_candidates_stratification` (`recommend.py:359-452`):
 score every (user, item) pair, bin scores into `num_fold` equi-width buckets using the
 GLOBAL score min/max (+epsilon on max), then per user draw K_c candidates from the
-non-train items with per-bucket quotas proportional to bucket sizes, shuffle, and
-overwrite the tail with the user's test items.
+non-train items with per-bucket quotas proportional to bucket sizes, and overwrite
+the tail with the user's test items.
 
-TPU-native design: the [U, N] score matrix is never materialized on the host — user
-blocks are scored on the MXU, a first pass reduces global min/max, a second pass bins
-and samples.  Per-user stratified sampling without replacement is a Gumbel-style
-"priority top-K within bucket" selection:
+TPU-native design (round 4 — sort-free): the [U, N] score matrix is never
+materialized on the host OR fully sorted on device.  One jit runs two passes as
+`fori_loop`s over user blocks (compile time independent of trip count):
 
-    rank_in_bucket(item) among eligible items ordered by random priority;
-    selected  <=>  rank_in_bucket < quota[bucket].
+  pass A   global fp16 min/max of U.I^T, accumulated on device (one host sync
+           for the WHOLE stage, vs one per 1024-user block in rounds 1-3 — each
+           sync is a ~77 ms RPC on tunneled TPU backends);
+  pass B   per block: bin scores, per-(user, bucket) quota thresholds by
+           vectorized bisection on the random priorities (48 halvings resolve
+           any float32 gap), a second bisection for the fill threshold that
+           tops the selection up to exactly n_keep items, then extraction by
+           cumsum + batched binary search (`searchsorted`) into [B, K_c].
 
-With proportional quotas this draws exactly the reference's stratified distribution.
-Items beyond the quota-selected set fill remaining slots in priority order (the
-reference instead re-samples duplicates when short, `recommend.py:314-325`; we keep
-candidates distinct — documented deviation).
+The round-3 implementation sorted each [B, N] block three times (argsort by
+priority, rank cumsum, argsort by packing key) — at amazon-book scale those
+sorts were ~300 s of the 315 s stage.  Thresholding + counting touches each
+score O(bisect_iters) times with cheap fused elementwise/reduction passes and
+needs no sort at all: selected(item) <=> priority(item) < t[bucket(item)],
+where t is the quota-quantile of the bucket's priorities.
+
+Sampling semantics are unchanged: with proportional (rint) quotas this draws
+the reference's stratified distribution; candidates stay distinct (documented
+deviation — the reference re-samples duplicates when short,
+`recommend.py:314-325`).  Priorities are keyed per USER (`fold_in(key, uid)`),
+so results are independent of block partitioning and identical between the
+single-chip and mesh-sharded paths.
 
 Output is a dense int32 [n_users, K_c] matrix (the reference's dict-of-lists has
 constant length K_c too: K_c - n_test sampled + n_test appended).
@@ -36,6 +50,31 @@ import numpy as np
 from serendipity_tpu.config import RecConfig
 from serendipity_tpu.data.datasets import Interactions
 
+# bisection halvings: enough to separate any two distinct float32 priorities
+# in [2^-24, 1) — collisions below that are measure-zero for this use and only
+# cost +-1 item at a bucket boundary
+BISECT_ITERS = 48
+
+
+@partial(jax.jit, static_argnames=("fp16", "block"))
+def _minmax_all(eu: jnp.ndarray, ei: jnp.ndarray, fp16: bool, block: int):
+    """Global (min, max) of eu @ ei.T, fori-accumulated on device."""
+    n_users = eu.shape[0]
+    block = min(block, max(n_users, 1))
+    n_steps = -(-n_users // block)
+    rows0 = jnp.arange(block, dtype=jnp.int32)
+
+    def body(i, mnmx):
+        mn, mx = mnmx
+        rows = jnp.minimum(i * block + rows0, n_users - 1)
+        s = eu[rows] @ ei.T
+        if fp16:
+            s = s.astype(jnp.float16).astype(jnp.float32)
+        return jnp.minimum(mn, jnp.min(s)), jnp.maximum(mx, jnp.max(s))
+
+    init = (jnp.float32(jnp.inf), jnp.float32(-jnp.inf))
+    return jax.lax.fori_loop(0, n_steps, body, init)
+
 
 def global_score_minmax(
     emb_user: jnp.ndarray,
@@ -43,107 +82,170 @@ def global_score_minmax(
     user_block: int = 1024,
     fp16: bool = True,
 ) -> Tuple[float, float]:
-    """Global min/max of U @ I^T, blocked over users.
+    """Global min/max of U @ I^T, blocked over users, one dispatch.
 
     The reference computes the full matrix in fp16 (`recommend.py:375`); we reduce
     per block with the matmul in fp32 and optionally round through fp16 to preserve
     the reference's binning boundaries.
     """
-    n_users = emb_user.shape[0]
-
-    @jax.jit
-    def block_minmax(ub):
-        s = ub @ emb_item.T
-        if fp16:
-            s = s.astype(jnp.float16).astype(jnp.float32)
-        return jnp.min(s), jnp.max(s)
-
-    mn, mx = np.inf, -np.inf
-    for s in range(0, n_users, user_block):
-        ub = emb_user[s:s + user_block]
-        bmn, bmx = block_minmax(ub)
-        mn = min(mn, float(bmn))
-        mx = max(mx, float(bmx))
-    return mn, mx
+    mn, mx = _minmax_all(
+        jnp.asarray(emb_user, jnp.float32), jnp.asarray(emb_item, jnp.float32),
+        fp16, user_block,
+    )
+    return float(mn), float(mx)
 
 
-@partial(jax.jit, static_argnames=("k_c", "num_fold", "n_items", "h_max"))
-def _sample_block(
+def _priority_rows(key: jax.Array, uids: jnp.ndarray, n_items: int) -> jnp.ndarray:
+    """[B, n_items] uniform(0,1) priorities keyed per USER id — independent of
+    how users are batched into blocks or sharded over devices."""
+    keys = jax.vmap(lambda u: jax.random.fold_in(key, u))(uids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n_items,)))(keys)
+
+
+def _bucket_counts(labels: jnp.ndarray, mask: jnp.ndarray, num_fold: int):
+    """[B, F] counts of `mask` cells per score bucket (fused sibling reductions)."""
+    return jnp.stack(
+        [jnp.sum((labels == f) & mask, axis=1) for f in range(num_fold)], axis=1
+    )
+
+
+def _block_candidates(
     key: jax.Array,
     user_emb_block: jnp.ndarray,     # [B, D]
     item_emb: jnp.ndarray,           # [N, D]
-    rows: jnp.ndarray,               # [B] int32 user ids (train mask built on device)
-    tr_ptr: jnp.ndarray,             # [U+1] int32 train CSR
-    tr_idx: jnp.ndarray,             # [nnz] int32
+    uids: jnp.ndarray,               # [B] int32 GLOBAL user ids (for the RNG)
+    train_mask: jnp.ndarray,         # [B, N] bool
     n_keep: jnp.ndarray,             # [B] int32: K_c - n_test(u), slots to sample
-    min_dis: jnp.ndarray,            # scalars (global, max already includes +eps)
+    min_dis: jnp.ndarray,            # scalars (global; max already includes +eps)
     max_dis: jnp.ndarray,
     k_c: int,
     num_fold: int,
     n_items: int,
-    h_max: int,
 ) -> jnp.ndarray:
-    """Stratified candidate sampling for one user block -> [B, k_c] (tail unfilled
-    slots hold extra priority-ordered items; test items overwrite the tail later)."""
-    b = user_emb_block.shape[0]
-    # dense per-user train mask from CSR, on device (the padded-row scatter lands
-    # pad ids in an extra column that is sliced away)
-    from serendipity_tpu.rec.strategies import padded_rows_device
-
-    hist = padded_rows_device(tr_ptr, tr_idx, rows, h_max, n_items)
-    train_mask = (
-        jnp.zeros((b, n_items + 1), jnp.bool_)
-        .at[jnp.arange(b)[:, None], hist]
-        .set(True)[:, :n_items]
-    )
+    """Stratified candidate sampling for one user block -> [B, k_c] (columns past
+    n_keep(u) hold clamped placeholders; test items overwrite that tail later)."""
     scores = (user_emb_block @ item_emb.T).astype(jnp.float16).astype(jnp.float32)
     inter = (max_dis - min_dis) / num_fold
     labels = jnp.clip(
         jnp.floor((scores - min_dis) / inter), 0, num_fold - 1
-    ).astype(jnp.int32)                                           # [B, N]
-
+    ).astype(jnp.int8)                                            # [B, N]
     eligible = ~train_mask
 
-    def count_bucket(f):
-        return jnp.sum((labels == f) & eligible, axis=1).astype(jnp.float32)
-
-    bucket_counts = jnp.stack(
-        [count_bucket(f) for f in range(num_fold)], axis=1
-    )                                                             # [B, F]
-    total = jnp.maximum(jnp.sum(bucket_counts, axis=1, keepdims=True), 1.0)
+    counts = _bucket_counts(labels, eligible, num_fold).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1.0)
     # rint quotas, proportional allocation (`recommend.py:346-351`)
-    quotas = jnp.round(n_keep[:, None] * bucket_counts / total)   # [B, F]
+    quotas = jnp.round(n_keep[:, None].astype(jnp.float32) * counts / total)
 
-    priority = jax.random.uniform(key, (b, n_items))
-    priority = jnp.where(eligible, priority, -1.0)
-    # rank of each item within its bucket by priority (descending); computed one
-    # bucket at a time so peak memory stays O(B*N), not O(B*N*F)
-    order = jnp.argsort(-priority, axis=1)                        # eligible first
-    labels_sorted = jnp.take_along_axis(labels, order, axis=1)
+    prio = _priority_rows(key, uids, n_items)
+    prio = jnp.where(eligible, prio, 2.0)      # ineligible never admits (t <= 1)
 
-    def add_bucket_rank(f, acc):
-        mask = (labels_sorted == f).astype(jnp.float32)
-        return acc + (jnp.cumsum(mask, axis=1) - mask) * mask
+    # per-(user, bucket) threshold t: smallest t with |{prio < t, bucket f}| >= q_f
+    def bs_body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.stack(
+            [
+                jnp.sum((labels == f) & (prio < mid[:, f, None]), axis=1)
+                for f in range(num_fold)
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        ge = cnt >= quotas
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    rank_sorted = jax.lax.fori_loop(
-        0, num_fold, add_bucket_rank, jnp.zeros((b, n_items), jnp.float32)
-    )                                                             # [B, N]
-    elig_sorted = jnp.take_along_axis(eligible, order, axis=1)
-    quota_of_item = jnp.take_along_axis(
-        quotas, labels_sorted, axis=1
+    b = user_emb_block.shape[0]
+    _, t_sel = jax.lax.fori_loop(
+        0, BISECT_ITERS, bs_body,
+        (jnp.zeros((b, num_fold)), jnp.ones((b, num_fold))),
     )
-    selected_sorted = (rank_sorted < quota_of_item) & elig_sorted
+    sel = jnp.zeros_like(eligible)
+    for f in range(num_fold):
+        sel |= (labels == f) & (prio < t_sel[:, f, None])
 
-    # pack: quota-selected first (by priority), then remaining eligible by priority
-    sel_key = (
-        selected_sorted.astype(jnp.float32) * 2.0
-        + elig_sorted.astype(jnp.float32)
+    # fill threshold: top the selection up to exactly n_keep by priority among
+    # the remaining eligible items (rint quotas rarely sum to n_keep exactly)
+    n_sel = jnp.sum(sel, axis=1).astype(jnp.float32)
+    fill_quota = jnp.maximum(n_keep.astype(jnp.float32) - n_sel, 0.0)
+    prio_fill = jnp.where(sel, 2.0, prio)
+
+    def bs_fill(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(prio_fill < mid[:, None], axis=1).astype(jnp.float32)
+        ge = cnt >= fill_quota
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    _, t_fill = jax.lax.fori_loop(
+        0, BISECT_ITERS, bs_fill, (jnp.zeros((b,)), jnp.ones((b,)))
     )
-    # stable ordering: primary sel_key desc, secondary original priority order asc
-    pos = jnp.arange(n_items, dtype=jnp.float32)[None, :] / n_items
-    final_order = jnp.argsort(-(sel_key - pos * 0.5), axis=1)
-    cand_sorted = jnp.take_along_axis(order, final_order, axis=1)
-    return cand_sorted[:, :k_c]
+    admit = sel | (prio_fill < t_fill[:, None])
+
+    # extract admitted item ids into [B, k_c]: j-th admitted item = first index
+    # where cumsum(admit) == j+1 (batched binary search; no sort, no scatter)
+    cs = jnp.cumsum(admit.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k_c + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cs)
+    # columns past the admitted count (>= n_keep) return N -> clamp; every such
+    # column is overwritten by the user's test items
+    return jnp.clip(idx, 0, n_items - 1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k_c", "num_fold", "n_items", "h_max", "block", "bin_eps"),
+)
+def _candidates_all(
+    key: jax.Array,
+    eu: jnp.ndarray,                 # [U, D]
+    ei: jnp.ndarray,                 # [N, D]
+    tr_ptr: jnp.ndarray,             # [U+1] int32 train CSR
+    tr_idx: jnp.ndarray,             # [nnz] int32
+    n_keep: jnp.ndarray,             # [U] int32
+    k_c: int,
+    num_fold: int,
+    n_items: int,
+    h_max: int,
+    block: int,
+    bin_eps: float,
+) -> jnp.ndarray:
+    """Whole candidate stage in ONE dispatch: min/max pass + sampling pass."""
+    from serendipity_tpu.rec.strategies import loop_user_blocks, padded_rows_device
+
+    n_users = eu.shape[0]
+    mn, mx = _minmax_all(eu, ei, True, block)
+    mx = mx + jnp.float32(bin_eps)                               # `recommend.py:377`
+
+    def blk(rows):
+        hist = padded_rows_device(tr_ptr, tr_idx, rows, h_max, n_items)
+        b = rows.shape[0]
+        train_mask = (
+            jnp.zeros((b, n_items + 1), jnp.bool_)
+            .at[jnp.arange(b)[:, None], hist]
+            .set(True)[:, :n_items]
+        )
+        return (
+            _block_candidates(
+                key, eu[rows], ei, rows, train_mask, n_keep[rows],
+                mn, mx, k_c, num_fold, n_items,
+            ),
+        )
+
+    return loop_user_blocks(blk, n_users, block=block)[0]
+
+
+def append_test_tail(out: np.ndarray, inter: Interactions, k_c: int) -> np.ndarray:
+    """Overwrite tail slots with each user's test items (`recommend.py:444-451`),
+    vectorized over the test CSR (the per-user Python loop cost seconds at 100k+
+    users)."""
+    n_t = np.diff(inter.test_indptr).astype(np.int64)
+    nnz = int(inter.test_indptr[-1])
+    if nnz == 0:
+        return out
+    rows = np.repeat(np.arange(inter.n_users), n_t)
+    off = np.arange(nnz) - np.repeat(inter.test_indptr[:-1].astype(np.int64), n_t)
+    cols = k_c - np.repeat(n_t, n_t) + off
+    out[rows, cols] = inter.test_indices[:nnz]
+    return out
 
 
 def create_candidates(
@@ -152,48 +254,41 @@ def create_candidates(
     emb_item: np.ndarray,
     cfg: RecConfig,
     seed: int = 0,
-    user_block: int = 512,
+    user_block: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
-    """Full candidate matrix [n_users, K_c] with test items in the tail slots."""
-    k_c = cfg.n_candidates
-    eu = jnp.asarray(emb_user, dtype=jnp.float32)
-    ei = jnp.asarray(emb_item, dtype=jnp.float32)
-    mn, mx = global_score_minmax(eu, ei)
-    mx = mx + cfg.bin_epsilon                                    # `recommend.py:377`
+    """Full candidate matrix [n_users, K_c] with test items in the tail slots.
 
+    With `mesh`, the user axis fans out over all devices
+    (`parallel/study.candidates_sharded`), matching the other study stages."""
+    k_c = cfg.n_candidates
     n_users, n_items = inter.n_users, inter.n_items
     test_deg = np.diff(inter.test_indptr).astype(np.int32)
     if (test_deg > k_c).any():
         raise ValueError("a user has more test items than K_c")
     n_keep = (k_c - test_deg).astype(np.int32)
-
-    tr_ptr = jnp.asarray(inter.train_indptr, jnp.int32)
-    tr_idx = jnp.asarray(inter.train_indices, jnp.int32)
     h_max = max(1, int(np.diff(inter.train_indptr).max()))
-
-    out = np.zeros((n_users, k_c), dtype=np.int32)
     key = jax.random.PRNGKey(seed)
-    for s in range(0, n_users, user_block):
-        e = min(s + user_block, n_users)
-        b = e - s
-        rows = np.minimum(np.arange(s, s + user_block, dtype=np.int32), n_users - 1)
-        ue = np.zeros((user_block, eu.shape[1]), np.float32)
-        ue[:b] = emb_user[s:e]
-        nk = np.zeros((user_block,), np.int32)
-        nk[:b] = n_keep[s:e]
-        key, sub = jax.random.split(key)
-        cand = np.asarray(
-            _sample_block(
-                sub, jnp.asarray(ue), ei, jnp.asarray(rows), tr_ptr, tr_idx,
-                jnp.asarray(nk), jnp.float32(mn), jnp.float32(mx),
-                k_c, cfg.n_score_bins, n_items, h_max,
-            )
-        )[:b]
-        out[s:e] = cand
 
-    # overwrite tail slots with the user's test items (`recommend.py:444-451`)
-    for u in range(n_users):
-        t = inter.test_items_of(u)
-        if len(t):
-            out[u, k_c - len(t):] = t
-    return out
+    if mesh is not None:
+        from serendipity_tpu.parallel.study import candidates_sharded
+
+        cand = candidates_sharded(
+            mesh, key, inter, emb_user, emb_item, n_keep,
+            k_c=k_c, num_fold=cfg.n_score_bins, bin_eps=cfg.bin_epsilon,
+            h_max=h_max, block=user_block,
+        )
+    else:
+        cand = _candidates_all(
+            key,
+            jnp.asarray(emb_user, jnp.float32),
+            jnp.asarray(emb_item, jnp.float32),
+            jnp.asarray(inter.train_indptr, jnp.int32),
+            jnp.asarray(inter.train_indices, jnp.int32),
+            jnp.asarray(n_keep),
+            k_c=k_c, num_fold=cfg.n_score_bins, n_items=n_items,
+            h_max=h_max, block=min(user_block, max(n_users, 1)),
+            bin_eps=cfg.bin_epsilon,
+        )
+    out = np.asarray(cand)[:n_users].copy()
+    return append_test_tail(out, inter, k_c)

@@ -175,20 +175,13 @@ def loop_user_blocks(fn, n_users: int, block: int = 1024, block_align: int = 8):
 def item_item_minmax(
     emb_item: np.ndarray, block: int = 2048
 ) -> Tuple[float, float]:
-    """Global min/max of I @ I^T, blocked (`utils.py:487-529` mem-poor path)."""
+    """Global min/max of I @ I^T, blocked (`utils.py:487-529` mem-poor path);
+    one dispatch, device-side accumulation (`rec/candidates._minmax_all`)."""
+    from serendipity_tpu.rec.candidates import _minmax_all
+
     ei = jnp.asarray(emb_item, dtype=jnp.float32)
-
-    @jax.jit
-    def bm(rows):
-        s = rows @ ei.T
-        return jnp.min(s), jnp.max(s)
-
-    mn, mx = np.inf, -np.inf
-    for s in range(0, emb_item.shape[0], block):
-        a, b = bm(ei[s:s + block])
-        mn = min(mn, float(a))
-        mx = max(mx, float(b))
-    return mn, mx
+    mn, mx = _minmax_all(ei, ei, False, block)
+    return float(mn), float(mx)
 
 
 @partial(jax.jit, static_argnames=("n_items", "h_max"))

@@ -76,10 +76,14 @@ def test_feature_strategies_match_numpy(setup):
         mx = vals.max(1, keepdims=True)
         return (vals - mn) / np.maximum(mx - mn, 1e-12)
 
-    np.testing.assert_allclose(sc.nov(), ref_minmax(tiny.item_dates[cand]), rtol=1e-5)
-    np.testing.assert_allclose(sc.pop(), ref_minmax(-tiny.item_counts[cand]), rtol=1e-5)
     np.testing.assert_allclose(
-        sc.qua(), ref_minmax(tiny.item_mean_ratings[cand]), rtol=1e-5
+        sc.nov(), ref_minmax(tiny.item_dates[cand]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sc.pop(), ref_minmax(-tiny.item_counts[cand]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sc.qua(), ref_minmax(tiny.item_mean_ratings[cand]), rtol=1e-5, atol=1e-6
     )
     raw_ref = np.einsum("ud,ucd->uc", eu, ei[cand])
     np.testing.assert_allclose(sc.acc_raw(), raw_ref, rtol=1e-4, atol=1e-4)

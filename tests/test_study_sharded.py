@@ -67,6 +67,22 @@ def test_dpp_parity(setup):
     np.testing.assert_array_equal(ar, br)
 
 
+def test_candidates_parity(setup):
+    """Sharded candidate generation must equal the single-chip draw exactly, and
+    the draw must be independent of the user-block partitioning (priorities are
+    keyed per user id, not per block)."""
+    from serendipity_tpu.config import RecConfig
+    from serendipity_tpu.rec.candidates import create_candidates
+
+    inter, eu, ei, cand, mesh = setup
+    cfg = RecConfig(n_candidates=60, top_k=8)
+    a = create_candidates(inter, eu, ei, cfg, seed=5)
+    b = create_candidates(inter, eu, ei, cfg, seed=5, mesh=mesh)
+    np.testing.assert_array_equal(a, b)
+    c = create_candidates(inter, eu, ei, cfg, seed=5, user_block=32)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_run_seed_parity(setup):
     """Full study seed, sharded vs single-chip: identical metric matrix."""
     from serendipity_tpu.config import ExperimentConfig, apply_overrides
