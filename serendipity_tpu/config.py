@@ -101,6 +101,10 @@ class EvalConfig:
     topks: Tuple[int, ...] = (20,)
     user_batch: int = 1024
     metrics: Tuple[str, ...] = ("precision", "recall", "ap", "ndcg", "mrr")
+    # ranking protocol: "foldout" (cumulative metrics over the user's whole test
+    # set, `evaluate_foldout.h:16-112`) or "loo" (HR/NDCG/MRR for a single
+    # held-out item, `evaluator/python/evaluate_loo.py:13-64`)
+    protocol: str = "foldout"
     # per-user ROC AUC over non-train items (`code/utils.py:265-274`)
     auc: bool = False
     # fused masked-retrieval ranking eval: scoring + train-item masking + exact

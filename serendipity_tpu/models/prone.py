@@ -77,11 +77,145 @@ def _edge_weights_prefactorization(
     return f_u_pad, f_i_pad
 
 
+def _edge_consts(adj: BipartiteAdjacency, f_u: np.ndarray, f_i: np.ndarray):
+    """Device pytree for the edge-list (scatter-add) operator pair — the small-graph
+    fallback when the hybrid cost model declines (`build_hybrid` returns None)."""
+    e = adj.n_edges
+    # F^T needs the u-half weights laid out in item-sorted edge order (and vice
+    # versa).  Both halves enumerate the same undirected edges; CSR-by-item order is
+    # (item, user)-lex, so permuting the u-half arrays by that key aligns them.
+    order_ui = np.lexsort((adj.u_dst[:e], adj.u_src[:e]))   # u-half -> (item, user) order
+    order_iu = np.lexsort((adj.i_dst[:e], adj.i_src[:e]))   # i-half -> (user, item) order
+    fu_by_item = np.zeros(adj.n_edges_padded, np.float32)
+    fu_by_item[:e] = f_u[:e][order_ui]
+    fi_by_user = np.zeros(adj.n_edges_padded, np.float32)
+    fi_by_user[:e] = f_i[:e][order_iu]
+    return {
+        "u_dst": jnp.asarray(adj.u_dst), "u_src": jnp.asarray(adj.u_src),
+        "i_dst": jnp.asarray(adj.i_dst), "i_src": jnp.asarray(adj.i_src),
+        "fu": jnp.asarray(f_u), "fi": jnp.asarray(f_i),
+        "fu_t": jnp.asarray(fu_by_item), "fi_t": jnp.asarray(fi_by_user),
+    }
+
+
+def _edge_ops(consts, n_u: int, n_i: int):
+    """(ui, iu, ui_t, iu_t) closures over edge-list consts (tracer-safe)."""
+    def ui(x):
+        return spmm_edges(consts["u_dst"], consts["u_src"], consts["fu"], x, n_u)
+
+    def iu(x):
+        return spmm_edges(consts["i_dst"], consts["i_src"], consts["fi"], x, n_i)
+
+    def ui_t(y):
+        return spmm_edges(consts["i_dst"], consts["i_src"], consts["fu_t"], y, n_i)
+
+    def iu_t(y):
+        return spmm_edges(consts["u_dst"], consts["u_src"], consts["fi_t"], y, n_u)
+
+    return ui, iu, ui_t, iu_t
+
+
+def _hybrid_ops(consts, n_u: int, n_i: int):
+    from serendipity_tpu.ops.spmm_hybrid import bind_hybrid, bind_hybrid_transposed
+
+    ui, iu = bind_hybrid(consts, n_u, n_i)
+    ui_t, iu_t = bind_hybrid_transposed(consts, n_u, n_i)
+    return ui, iu, ui_t, iu_t
+
+
+def _build_f_operator(inter, adj, f_u, f_i, head_k=None):
+    """(consts, bind) for the pre-factorization operator F.
+
+    DEFAULT: the edge-list (gather + segment-sum) operators.  Measured round 4
+    (gowalla scale, docs/DESIGN.md §8): once the whole pre-factorization runs as
+    one cached jit, the edge path is 1.6 s warm / 27 s cold vs the hybrid
+    dense-head layout's 9.8 s / 386 s — ProNE applies F to [N, dim+oversample]
+    blocks where XLA's row gather amortizes over ~80 columns, while the hybrid's
+    two non-symmetric float32 [K, n_users] dense blocks cost GB-scale HBM
+    streams, transfers, and compile time.  (The hybrid layout stays the clear
+    winner for TRAINING propagation, where it replaced a per-step gather bound —
+    DESIGN.md §7b.)  Pass head_k > 0 to force the hybrid operators; dense blocks
+    then stay float32 because ProNE feeds downstream SVDs where bf16 rounding
+    costs real spectral accuracy."""
+    if head_k is not None and head_k > 0:
+        from serendipity_tpu.ops.spmm_hybrid import build_hybrid, hybrid_consts
+
+        e = adj.n_edges
+        layout = build_hybrid(
+            inter, f_u[:e], f_i[:e], head_k=head_k, dense_dtype=jnp.float32
+        )
+        if layout is not None:
+            return hybrid_consts(layout), _hybrid_ops
+    return _edge_consts(adj, f_u, f_i), _edge_ops
+
+
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bind", "n_u", "n_i", "dim", "n_iter", "oversample"),
+)
+def _prefactor_jit(key, consts, *, bind, n_u, n_i, dim, n_iter, oversample):
+    """Whole pre-factorization as ONE module-level jit: eager op-by-op subspace
+    iteration costs one tunnel RPC per primitive (seconds of relay overhead),
+    and a per-call inner jit would recompile every invocation.  Operator consts
+    enter as arguments, never closure constants (`ops/spmm_common`)."""
+    ui, iu, ui_t, iu_t = bind(consts, n_u, n_i)
+
+    # stacked-node operator: x = [x_users; x_items]
+    def matvec_f(x):
+        return jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0)
+
+    def rmatvec_f(y):
+        # (F^T y)_u = sum_i F_iu y_i ; (F^T y)_i = sum_u F_ui y_u
+        return jnp.concatenate([iu_t(y[n_u:]), ui_t(y[:n_u])], axis=0)
+
+    u0, s0 = randomized_svd_operator(
+        key, matvec_f, rmatvec_f, n_u + n_i, n_u + n_i, dim,
+        n_iter=n_iter, oversample=oversample,
+    )
+    return l2_normalize_rows(u0 * jnp.sqrt(jnp.maximum(s0, 0.0)))  # `proNE.py:44-45`
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bind", "n_u", "n_i", "order", "mu", "s", "dim"),
+)
+def _chebyshev_jit(a, deg1, consts, *, bind, n_u, n_i, order, mu, s, dim):
+    if order == 1:
+        return a
+    bessels = [bessel_iv(i, s) for i in range(max(order, 2))]
+    ui, iu, _, _ = bind(consts, n_u, n_i)
+
+    def adj_mv(x):
+        return jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0)
+
+    def m_mv(x):
+        # M x = (1 - mu) x - DA x,  DA = rownorm(I + A)
+        return (1.0 - mu) * x - (x + adj_mv(x)) / deg1
+
+    lx0 = a
+    lx1 = m_mv(a)
+    lx1 = 0.5 * m_mv(lx1) - a
+    conv = bessels[0] * lx0 - 2.0 * bessels[1] * lx1
+    for i in range(2, order):
+        lx2 = m_mv(m_mv(lx1)) - 2.0 * lx1 - lx0
+        sign = 1.0 if i % 2 == 0 else -1.0
+        conv = conv + sign * 2.0 * bessels[i] * lx2
+        lx0, lx1 = lx1, lx2
+    delta = a - conv
+    mm = delta + adj_mv(delta)        # (I + A)(a - conv), `proNE.py:118`
+    u, sv = svd_tall(mm, dim)
+    return l2_normalize_rows(u * jnp.sqrt(jnp.maximum(sv, 0.0)))
+
+
 def prone_embeddings(
     inter: Interactions,
     cfg: ProNEConfig,
     seed: int = 0,
     adj: BipartiteAdjacency | None = None,
+    head_k: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full ProNE pipeline -> (emb_user [U,d], emb_item [I,d]), l2-normalized rows."""
     if adj is None:
@@ -89,94 +223,40 @@ def prone_embeddings(
     n_u, n_i = adj.n_users, adj.n_items
     f_u, f_i = _edge_weights_prefactorization(adj)
 
-    u_dst = jnp.asarray(adj.u_dst)
-    u_src = jnp.asarray(adj.u_src)
-    i_dst = jnp.asarray(adj.i_dst)
-    i_src = jnp.asarray(adj.i_src)
-    fu = jnp.asarray(f_u)
-    fi = jnp.asarray(f_i)
-
-    # F^T needs the u-half weights laid out in item-sorted edge order (and vice
-    # versa).  Both halves enumerate the same undirected edges; CSR-by-item order is
-    # (item, user)-lex, so permuting the u-half arrays by that key aligns them.
-    e = adj.n_edges
-    order_ui = np.lexsort((adj.u_dst[:e], adj.u_src[:e]))   # u-half -> (item, user) order
-    order_iu = np.lexsort((adj.i_dst[:e], adj.i_src[:e]))   # i-half -> (user, item) order
-    fu_by_item = np.zeros(adj.n_edges_padded, np.float32)
-    fu_by_item[:e] = f_u[:e][order_ui]
-    fi_by_user = np.zeros(adj.n_edges_padded, np.float32)
-    fi_by_user[:e] = f_i[:e][order_iu]
-    fu_t = jnp.asarray(fu_by_item)
-    fi_t = jnp.asarray(fi_by_user)
-
-    # stacked-node operator: x = [x_users; x_items]
-    def matvec_f(x):
-        xu, xi = x[:n_u], x[n_u:]
-        yu = spmm_edges(u_dst, u_src, fu, xi, n_u)
-        yi = spmm_edges(i_dst, i_src, fi, xu, n_i)
-        return jnp.concatenate([yu, yi], axis=0)
-
-    def rmatvec_f(y):
-        yu, yi = y[:n_u], y[n_u:]
-        # (F^T y)_i = sum_u F_ui y_u ; (F^T y)_u = sum_i F_iu y_i
-        xi = spmm_edges(i_dst, i_src, fu_t, yu, n_i)
-        xu = spmm_edges(u_dst, u_src, fi_t, yi, n_u)
-        return jnp.concatenate([xu, xi], axis=0)
-
-    key = jax.random.PRNGKey(seed)
-    u0, s0 = randomized_svd_operator(
-        key, matvec_f, rmatvec_f, n_u + n_i, n_u + n_i, cfg.dim,
-        n_iter=cfg.svd_iters, oversample=cfg.svd_oversample,
+    consts_f, bind_f = _build_f_operator(inter, adj, f_u, f_i, head_k=head_k)
+    features = _prefactor_jit(
+        jax.random.PRNGKey(seed), consts_f, bind=bind_f, n_u=n_u, n_i=n_i,
+        dim=cfg.dim, n_iter=cfg.svd_iters, oversample=cfg.svd_oversample,
     )
-    features = l2_normalize_rows(u0 * jnp.sqrt(jnp.maximum(s0, 0.0)))  # `proNE.py:44-45`
 
     emb = _chebyshev_gaussian(
-        features, adj, cfg.order, cfg.mu, cfg.theta, cfg.dim
+        features, inter, adj, cfg.order, cfg.mu, cfg.theta, cfg.dim, head_k=head_k
     )
     emb = np.asarray(emb)
     return emb[:n_u], emb[n_u:]
 
 
-def _chebyshev_gaussian(a, adj: BipartiteAdjacency, order, mu, s, dim):
+def _chebyshev_gaussian(a, inter, adj: BipartiteAdjacency, order, mu, s, dim,
+                        head_k=None):
+    from serendipity_tpu.ops.spmm_hybrid import build_hybrid, hybrid_consts
+
     n_u, n_i = adj.n_users, adj.n_items
-    u_dst = jnp.asarray(adj.u_dst)
-    u_src = jnp.asarray(adj.u_src)
-    i_dst = jnp.asarray(adj.i_dst)
-    i_src = jnp.asarray(adj.i_src)
     e = adj.n_edges
-    ones_u = jnp.asarray((np.arange(adj.n_edges_padded) < e).astype(np.float32))
+    layout = None
+    if head_k is not None and head_k > 0:   # opt-in, like _build_f_operator
+        ones = np.ones(e, np.float32)
+        layout = build_hybrid(
+            inter, ones, ones, head_k=head_k, dense_dtype=jnp.float32
+        )
+    if layout is not None:
+        consts, bind = hybrid_consts(layout), _hybrid_ops
+    else:
+        ones_pad = (np.arange(adj.n_edges_padded) < e).astype(np.float32)
+        consts, bind = _edge_consts(adj, ones_pad, ones_pad), _edge_ops
     deg1 = jnp.asarray(
         np.concatenate([adj.user_degrees, adj.item_degrees]).astype(np.float32) + 1.0
     )[:, None]
-    bessels = [bessel_iv(i, s) for i in range(max(order, 2))]
-
-    def adj_mv(x):
-        xu, xi = x[:n_u], x[n_u:]
-        yu = spmm_edges(u_dst, u_src, ones_u, xi, n_u)
-        yi = spmm_edges(i_dst, i_src, ones_u, xu, n_i)
-        return jnp.concatenate([yu, yi], axis=0)
-
-    @jax.jit
-    def run(a):
-        if order == 1:
-            return a
-
-        def m_mv(x):
-            # M x = (1 - mu) x - DA x,  DA = rownorm(I + A)
-            return (1.0 - mu) * x - (x + adj_mv(x)) / deg1
-
-        lx0 = a
-        lx1 = m_mv(a)
-        lx1 = 0.5 * m_mv(lx1) - a
-        conv = bessels[0] * lx0 - 2.0 * bessels[1] * lx1
-        for i in range(2, order):
-            lx2 = m_mv(m_mv(lx1)) - 2.0 * lx1 - lx0
-            sign = 1.0 if i % 2 == 0 else -1.0
-            conv = conv + sign * 2.0 * bessels[i] * lx2
-            lx0, lx1 = lx1, lx2
-        delta = a - conv
-        mm = delta + adj_mv(delta)        # (I + A)(a - conv), `proNE.py:118`
-        u, sv = svd_tall(mm, dim)
-        return l2_normalize_rows(u * jnp.sqrt(jnp.maximum(sv, 0.0)))
-
-    return run(a)
+    return _chebyshev_jit(
+        a, deg1, consts, bind=bind, n_u=n_u, n_i=n_i,
+        order=order, mu=mu, s=s, dim=dim,
+    )

@@ -80,6 +80,29 @@ def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
     return lax.associative_scan(jnp.maximum, x, axis=1)
 
 
+def loo_metrics_cumulative(
+    ranked_items: jnp.ndarray,   # [B, K] int32 ranked item ids
+    truth: jnp.ndarray,          # [B] int32: the single held-out item per user
+) -> Dict[str, jnp.ndarray]:
+    """Leave-one-out protocol metric vectors at cutoffs 1..K, shape [B, K] each.
+
+    Exact formulas of the reference's second evaluator package
+    (`LightGCN-tf/evaluator/python/evaluate_loo.py:13-64`): with `i` the 0-based
+    rank of the ground-truth item (or never found),
+      hr@k   = 1[i < k]
+      ndcg@k = 1[i < k] / log2(i + 2)
+      mrr@k  = 1[i < k] / (i + 1)
+    """
+    found = ranked_items == truth[:, None]                 # at most one True
+    step = jax_cummax(found.astype(jnp.float32))           # 1 from rank i onward
+    idx = jnp.argmax(found, axis=1).astype(jnp.float32)    # 0 when absent; step=0 then
+    return {
+        "hr": step,
+        "ndcg": step * (1.0 / jnp.log2(idx + 2.0))[:, None],
+        "mrr": step * (1.0 / (idx + 1.0))[:, None],
+    }
+
+
 def _tie_average_ranks(scores: jnp.ndarray) -> jnp.ndarray:
     """Per-row 1-based average ranks (ascending), ties sharing their mean position.
 

@@ -281,6 +281,22 @@ def make_hybrid_spmm(layout: HybridLayout) -> Tuple[Callable, Callable]:
     return bind_hybrid(hybrid_consts(layout), layout.n_users, layout.n_items)
 
 
+def bind_hybrid_transposed(consts: dict, n_u: int, n_i: int) -> Tuple[Callable, Callable]:
+    """(A_ui^T, A_iu^T) as forward closures: items<-users with the ui weights and
+    users<-items with the iu weights.  The operator-SVD `rmatvec` path (ProNE
+    pre-factorization, `proNE.py:37-47`) applies transposes as primal ops, so it
+    needs them directly rather than through a VJP."""
+    hi = consts["hi"]
+
+    def ui_t(y):
+        return _apply_to_items(y, hi, consts["d_ui"], consts["t_ui_t"], n_i)
+
+    def iu_t(y):
+        return _apply_to_users(y, hi, consts["d_iu"], consts["t_iu_t"], n_u)
+
+    return ui_t, iu_t
+
+
 def split_bipartite_hybrid_spmm(
     inter,
     weights_by_user: np.ndarray,

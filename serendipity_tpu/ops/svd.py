@@ -17,6 +17,24 @@ import jax
 import jax.numpy as jnp
 
 
+def orthonormalize_cholqr2(y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of a tall-skinny block via CholeskyQR2.
+
+    One [N, k]^T @ [N, k] matmul (MXU) + a k x k Cholesky + triangular solve per
+    round, applied twice for Householder-level orthogonality (cond(Y)^2 error of
+    single CholQR cancels on the second pass).  Replaces `jnp.linalg.qr` in the
+    subspace-iteration hot loop: Householder QR on TPU is a serial panel
+    factorization, ~10x the wall of two matmul-bound CholQR rounds at
+    [70k, 80]."""
+    def one(y):
+        g = y.T @ y
+        ridge = 1e-7 * jnp.trace(g) / g.shape[0] + 1e-30
+        r = jnp.linalg.cholesky(g + ridge * jnp.eye(g.shape[0], dtype=g.dtype))
+        return jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+
+    return one(one(y))
+
+
 def randomized_svd_operator(
     key: jax.Array,
     matvec: Callable[[jnp.ndarray], jnp.ndarray],     # X [n_cols, k] -> A @ X [n_rows, k]
@@ -26,6 +44,7 @@ def randomized_svd_operator(
     dim: int,
     n_iter: int = 7,
     oversample: int = 16,
+    orth: str = "cholqr2",      # "cholqr2" (MXU-bound) or "qr" (Householder)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomized truncated SVD of an implicit operator A.
 
@@ -33,13 +52,16 @@ def randomized_svd_operator(
     `randomized_svd(n_components=dim, n_iter=5)` at `proNE.py:43` up to sign/rotation
     ambiguity and randomized-method tolerance.
     """
+    ortho = orthonormalize_cholqr2 if orth == "cholqr2" else (
+        lambda y: jnp.linalg.qr(y)[0]
+    )
     k = dim + oversample
     omega = jax.random.normal(key, (n_cols, k), dtype=jnp.float32)
     y = matvec(omega)
-    q, _ = jnp.linalg.qr(y)
+    q = ortho(y)
     for _ in range(n_iter):
-        z, _ = jnp.linalg.qr(rmatvec(q))
-        q, _ = jnp.linalg.qr(matvec(z))
+        z = ortho(rmatvec(q))
+        q = ortho(matvec(z))
     b = rmatvec(q).T                              # [k, n_cols] = Q^T A
     ub, s, _ = jnp.linalg.svd(b @ b.T)            # small k x k eigen-decomposition
     s = jnp.sqrt(jnp.maximum(s, 0.0))
@@ -48,8 +70,10 @@ def randomized_svd_operator(
 
 
 def svd_tall(m: jnp.ndarray, dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Left singular vectors + values of a tall-skinny matrix via QR reduction."""
-    q, r = jnp.linalg.qr(m)                       # q: [N, d], r: [d, d]
+    """Left singular vectors + values of a tall-skinny matrix via QR reduction
+    (CholeskyQR2 basis + small-SVD of Q^T M — all matmul-bound on the MXU)."""
+    q = orthonormalize_cholqr2(m)                 # q: [N, d]
+    r = q.T @ m                                   # [d, d]
     ur, s, _ = jnp.linalg.svd(r)
     return (q @ ur)[:, :dim], s[:dim]
 

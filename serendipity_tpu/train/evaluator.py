@@ -32,7 +32,12 @@ import numpy as np
 from serendipity_tpu.config import EvalConfig
 from serendipity_tpu.data.datasets import Interactions, sparsity_split
 from serendipity_tpu.models.lightgcn import EmbeddingModel, Params
-from serendipity_tpu.ops.metrics import auc_rows, hit_matrix, ranking_metrics_cumulative
+from serendipity_tpu.ops.metrics import (
+    auc_rows,
+    hit_matrix,
+    loo_metrics_cumulative,
+    ranking_metrics_cumulative,
+)
 from serendipity_tpu.train.device import DeviceData
 
 
@@ -84,10 +89,27 @@ def _masked_scores(all_u, all_i, users, mask_rows, mask_items, b):
     return scores.at[mask_rows, mask_items].set(-jnp.inf)[:b]
 
 
-@partial(jax.jit, static_argnames=("max_k",))
+def _per_user_metrics(top_items, users, test_indptr, test_indices, protocol):
+    """Per-user metric vectors under either protocol.
+
+    foldout: cumulative precision/recall/AP/NDCG/MRR over the user's full test
+    set (`evaluate_foldout.h:16-112`).  loo: HR/NDCG/MRR step vectors for a
+    single held-out ground-truth item — the FIRST test item of the user
+    (`evaluate_loo.py:13-64`; leave-one-out splits hold out exactly one)."""
+    lo = test_indptr[users]
+    hi = test_indptr[users + 1]
+    if protocol == "loo":
+        truth = test_indices[lo]
+        return loo_metrics_cumulative(top_items, truth)
+    hits = hit_matrix(top_items, lo, hi, test_indices)
+    truth_len = (hi - lo).astype(jnp.float32)
+    return ranking_metrics_cumulative(hits, truth_len)
+
+
+@partial(jax.jit, static_argnames=("max_k", "protocol"))
 def _eval_batch(
     all_u, all_i, users, valid, mask_rows, mask_items, test_indptr, test_indices,
-    *, max_k: int,
+    *, max_k: int, protocol: str = "foldout",
 ):
     b = users.shape[0]
     scores = _masked_scores(all_u, all_i, users, mask_rows, mask_items, b)
@@ -97,20 +119,18 @@ def _eval_batch(
 
     _, top_items = topk_exact_2stage(scores, max_k)           # [b, K]
 
-    lo = test_indptr[users]
-    hi = test_indptr[users + 1]
-    hits = hit_matrix(top_items, lo, hi, test_indices)
-    truth_len = (hi - lo).astype(jnp.float32)
-    per_user = ranking_metrics_cumulative(hits, truth_len)
+    per_user = _per_user_metrics(
+        top_items, users, test_indptr, test_indices, protocol
+    )
     w = valid.astype(jnp.float32)[:, None]
     sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
     return sums, jnp.sum(w)
 
 
-@partial(jax.jit, static_argnames=("max_k", "interpret"))
+@partial(jax.jit, static_argnames=("max_k", "interpret", "protocol"))
 def _eval_batch_fused(
     all_u, all_i_pad, users, valid, bitmap_all, test_indptr, test_indices,
-    *, max_k: int, interpret: bool = False,
+    *, max_k: int, interpret: bool = False, protocol: str = "foldout",
 ):
     """`_eval_batch` with scoring+masking+top-k fused in the Pallas masked
     kernel (`ops/pallas_score.fused_score_topk_masked`) — the [b, N] score
@@ -127,11 +147,9 @@ def _eval_batch_fused(
     _, top_items = fused_score_topk_masked(
         eu_b, all_i_pad, bm_b, k=max_k, interpret=interpret
     )
-    lo = test_indptr[users]
-    hi = test_indptr[users + 1]
-    hits = hit_matrix(top_items, lo, hi, test_indices)
-    truth_len = (hi - lo).astype(jnp.float32)
-    per_user = ranking_metrics_cumulative(hits, truth_len)
+    per_user = _per_user_metrics(
+        top_items, users, test_indptr, test_indices, protocol
+    )
     w = valid.astype(jnp.float32)[:, None]
     sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
     return sums, jnp.sum(w)
@@ -257,6 +275,7 @@ class Evaluator:
                 ) if pad else all_i
             )
             interp = _jax.default_backend() != "tpu"
+        protocol = getattr(self.cfg, "protocol", "foldout")
         for bi in range(self.users_dev.shape[0]):
             if self._bitmap is not None:
                 sums, cnt = _eval_batch_fused(
@@ -264,7 +283,7 @@ class Evaluator:
                     self.users_dev[bi], self.valid_dev[bi],
                     self._bitmap,
                     self.data.test_indptr, self.data.test_indices,
-                    max_k=self.max_k, interpret=interp,
+                    max_k=self.max_k, interpret=interp, protocol=protocol,
                 )
             else:
                 sums, cnt = _eval_batch(
@@ -272,7 +291,7 @@ class Evaluator:
                     self.users_dev[bi], self.valid_dev[bi],
                     self.mask_rows[bi], self.mask_items[bi],
                     self.data.test_indptr, self.data.test_indices,
-                    max_k=self.max_k,
+                    max_k=self.max_k, protocol=protocol,
                 )
             # accumulate ON DEVICE: forcing each batch to the host (np.asarray)
             # serializes one full tunnel RPC per batch (~77 ms x n_batches,
@@ -283,7 +302,10 @@ class Evaluator:
                 totals[k] = v if k not in totals else totals[k] + v
         n = max(float(n), 1.0)
         out: Dict[str, float] = {}
-        for metric in self.cfg.metrics:
+        metrics = (
+            ("hr", "ndcg", "mrr") if protocol == "loo" else self.cfg.metrics
+        )
+        for metric in metrics:
             host = np.asarray(totals[metric])
             for k in self.cfg.topks:
                 out[f"{metric}@{k}"] = float(host[k - 1] / n)

@@ -123,6 +123,77 @@ def test_evaluate_auc_vs_sklearn(small_cfg, tiny_inter):
     assert got == pytest.approx(float(np.mean(aucs)), abs=2e-4)
 
 
+def _reference_loo_vectors(ranking, ground_truth):
+    """Transliteration of `evaluate_loo.py:13-44` (hit/ndcg/mrr step vectors)."""
+    import sys
+
+    last_idx = sys.maxsize
+    for idx, item in enumerate(ranking):
+        if item == ground_truth:
+            last_idx = idx
+            break
+    hit = np.zeros(len(ranking), np.float32)
+    ndcg = np.zeros(len(ranking), np.float32)
+    mrr = np.zeros(len(ranking), np.float32)
+    hit[last_idx:] = 1.0
+    ndcg[last_idx:] = 1.0 / np.log2(last_idx + 2)
+    mrr[last_idx:] = 1.0 / (last_idx + 1)
+    return hit, ndcg, mrr
+
+
+def test_loo_metrics_vs_transliteration():
+    import jax.numpy as jnp
+
+    from serendipity_tpu.ops.metrics import loo_metrics_cumulative
+
+    rng = np.random.default_rng(0)
+    b, k, n = 40, 15, 60
+    ranked = np.stack([rng.choice(n, size=k, replace=False) for _ in range(b)])
+    truth = rng.integers(0, n, size=b)          # sometimes absent from the list
+    got = loo_metrics_cumulative(jnp.asarray(ranked), jnp.asarray(truth))
+    for r in range(b):
+        hit, ndcg, mrr = _reference_loo_vectors(ranked[r].tolist(), truth[r])
+        np.testing.assert_allclose(np.asarray(got["hr"])[r], hit, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["ndcg"])[r], ndcg, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["mrr"])[r], mrr, atol=1e-6)
+
+
+def test_evaluator_loo_protocol(small_cfg, tiny_inter):
+    """eval.protocol=loo: evaluator metrics equal a brute-force numpy LOO eval
+    on the first held-out test item per user."""
+    import jax
+
+    from serendipity_tpu.config import apply_overrides
+    from serendipity_tpu.models.lightgcn import init_params
+
+    cfg = apply_overrides(small_cfg, ["eval.protocol=loo"])
+    data = build_device_data(tiny_inter)
+    model = build_model(cfg, tiny_inter.n_users, tiny_inter.n_items)
+    params = init_params(
+        jax.random.PRNGKey(2), cfg.model, tiny_inter.n_users, tiny_inter.n_items
+    )
+    got = Evaluator(model, data, tiny_inter, cfg.eval).evaluate(params)
+
+    all_u, all_i = jax.jit(
+        lambda p: model.propagate(p, data.adj, spmm_ops=data.spmm_ops)
+    )(params)
+    all_u, all_i = np.asarray(all_u), np.asarray(all_i)
+    k = max(cfg.eval.topks)
+    hrs, ndcgs, mrrs = [], [], []
+    for u in range(tiny_inter.n_users):
+        test = tiny_inter.test_items_of(u)
+        if len(test) == 0:
+            continue
+        s = all_u[u] @ all_i.T
+        s[tiny_inter.train_items_of(u)] = -np.inf
+        ranking = np.argsort(-s, kind="stable")[:k]
+        hit, ndcg, mrr = _reference_loo_vectors(ranking.tolist(), test[0])
+        hrs.append(hit[k - 1]); ndcgs.append(ndcg[k - 1]); mrrs.append(mrr[k - 1])
+    assert got[f"hr@{k}"] == pytest.approx(float(np.mean(hrs)), abs=1e-5)
+    assert got[f"ndcg@{k}"] == pytest.approx(float(np.mean(ndcgs)), abs=1e-5)
+    assert got[f"mrr@{k}"] == pytest.approx(float(np.mean(mrrs)), abs=1e-5)
+
+
 def test_load_lastfm(tmp_path):
     # 1-indexed tab-separated tables, the LastFM on-disk format
     (tmp_path / "data1.txt").write_text("1\t1\n1\t2\n2\t3\n3\t1\n3\t4\n")

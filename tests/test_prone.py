@@ -97,7 +97,9 @@ def test_chebyshev_matches_reference_dense(tiny_inter):
     feats = rng.standard_normal((n, 8)).astype(np.float32)
     order, mu, s, dim = 10, 0.2, 0.5, 8
 
-    got = np.asarray(_chebyshev_gaussian(jnp.asarray(feats), adj, order, mu, s, dim))
+    got = np.asarray(
+        _chebyshev_gaussian(jnp.asarray(feats), tiny_inter, adj, order, mu, s, dim)
+    )
 
     # numpy transliteration of `proNE.py:86-120`
     a1 = np.eye(n) + a
@@ -133,3 +135,16 @@ def test_prone_end_to_end(tiny_inter):
     assert np.isfinite(emb_u).all() and np.isfinite(emb_i).all()
     norms = np.linalg.norm(emb_u, axis=1)
     np.testing.assert_allclose(norms[norms > 1e-6], 1.0, rtol=1e-4)
+
+
+def test_prone_hybrid_matches_edge_path(tiny_inter):
+    """Forcing the hybrid dense-head/ELL-tail operators (head_k) must reproduce
+    the edge-list fallback (the default on this tiny graph) up to float
+    association and per-column SVD sign."""
+    cfg = ProNEConfig(dim=8)
+    eu_a, ei_a = prone_embeddings(tiny_inter, cfg, seed=3)
+    eu_b, ei_b = prone_embeddings(tiny_inter, cfg, seed=3, head_k=64)
+    for a, b in ((eu_a, eu_b), (ei_a, ei_b)):
+        sign = np.sign(np.sum(a * b, axis=0))
+        sign[sign == 0] = 1.0
+        np.testing.assert_allclose(a, b * sign[None, :], atol=5e-3)

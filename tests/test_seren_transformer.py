@@ -119,3 +119,54 @@ def test_seren_data_pipeline_end_to_end(request):
                            jnp.asarray(test_b["y_cand"][:8])))
     m = SerenTrainer.ranking_metrics(scores)
     assert 0.0 <= m["hr@10"] <= 1.0
+
+
+def test_seren_data_vectorized_assembly(request):
+    """Round-4 vectorized assembly: histories match a per-user loop
+    transliteration; negatives exclude every interacted item; positive samples
+    come from the right row and are distinct when the row is large enough."""
+    tiny = request.getfixturevalue("tiny_inter")
+    from serendipity_tpu.rec.seren_data import (
+        _resample_rows,
+        sample_negatives_all,
+        user_histories,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    ei = rng.standard_normal((tiny.n_items, dim)).astype(np.float32)
+    r = 5
+    hist = user_histories(tiny, ei, n_reviews=r)
+    for u in range(tiny.n_users):
+        items = tiny.train_items_of(u)
+        if tiny.train_timestamps is not None:
+            ts = tiny.train_timestamps[
+                tiny.train_indptr[u]:tiny.train_indptr[u + 1]
+            ]
+            items = items[np.argsort(ts, kind="stable")]
+        tail = items[-r:]
+        ref = np.zeros((r, dim), np.float32)
+        if len(tail):
+            ref[r - len(tail):] = ei[tail]
+        np.testing.assert_array_equal(hist[u], ref)
+
+    negs = sample_negatives_all(tiny, 6, rng)
+    for u in range(tiny.n_users):
+        pos = set(tiny.train_items_of(u).tolist()) | set(
+            tiny.test_items_of(u).tolist()
+        )
+        assert not (set(negs[u].tolist()) & pos)
+        assert negs[u].min() >= 0 and negs[u].max() < tiny.n_items
+
+    lo = tiny.train_indptr[:-1].astype(np.int64)
+    deg = np.diff(tiny.train_indptr).astype(np.int64)
+    n = 4
+    samp = _resample_rows(tiny.train_indices.astype(np.int64), lo, deg, n, rng)
+    for u in range(tiny.n_users):
+        row_items = set(tiny.train_items_of(u).tolist())
+        if deg[u] == 0:
+            assert (samp[u] == 0).all()
+            continue
+        assert set(samp[u].tolist()) <= row_items
+        if deg[u] >= n:
+            assert len(set(samp[u].tolist())) == n  # without replacement
