@@ -176,6 +176,42 @@ def bench_eval():
     }
 
 
+def _train_bytes_model(data, cfg, n_users, n_items):
+    """Modeled HBM bytes per optimizer step, from the ACTUAL bound layout.
+
+    Fwd propagation per layer: both hybrid dense blocks stream once
+    (2*K*U*dense_bytes), tail-ELL edges move ~2 embedding rows + indices each,
+    and each SpMM reads its input table and writes its output
+    (2*(U+I)*D*act).  Backward applies the transpose operators — same traffic.
+    Mean-pool reads all L+1 layer activations; Adam reads+writes params and
+    both moments in f32.  This is a LOWER bound (no re-materialization, no
+    padding waste), so achieved/modeled <= 1 gauges how far the step is from
+    its own layout's streaming bound."""
+    d = cfg.model.embed_dim
+    act = 2 if cfg.model.compute_dtype == "bfloat16" else 4
+    l_layers = cfg.model.n_layers
+    rows = n_users + n_items
+    consts = data.spmm_split.consts if data.spmm_split is not None else None
+    if consts is not None and "d_ui" in consts:
+        k_head, u = consts["d_ui"].shape
+        dense_bytes = consts["d_ui"].dtype.itemsize
+        tail = 0
+        for key in ("t_ui", "t_iu"):
+            if consts[key] is not None:
+                tail += int(consts[key][0].size)
+        spmm_layer = (
+            2 * k_head * u * dense_bytes
+            + tail * (2 * d * act + 8)
+            + 2 * rows * d * act
+        )
+    else:  # edge-list fallback: every edge gathers + scatters a row
+        spmm_layer = data.n_train * 2 * (2 * d * act + 8) + 2 * rows * d * act
+    fwd = l_layers * spmm_layer
+    pool = 2 * (l_layers + 1) * rows * d * act
+    adam = 6 * rows * d * 4
+    return 2 * fwd + pool + adam
+
+
 def bench_train_step():
     """Training-step throughput at gowalla scale (see module docstring)."""
     import jax
@@ -223,10 +259,17 @@ def bench_train_step():
     step_s = best / (steps * chunks_per_sync)
     batch = cfg.train.batch_size
     steps_per_epoch = -(-data.n_train // batch)
+    # bandwidth roofline visibility (VERDICT r3 #6): modeled bytes from the
+    # bound layout vs achieved stream rate vs the measured v5e HBM peak
+    bytes_model = _train_bytes_model(data, cfg, inter.n_users, inter.n_items)
+    hbm_peak = 8.2e11                       # sustained, measured (DESIGN.md §7b)
     return {
         "train_step_ms": round(step_s * 1e3, 3),
         "train_interactions_per_s": round(batch / step_s),
         "train_epoch_s": round(step_s * steps_per_epoch, 3),
+        "train_model_bytes_per_step": int(bytes_model),
+        "train_achieved_gbps": round(bytes_model / step_s / 1e9, 1),
+        "train_hbm_frac": round(bytes_model / step_s / hbm_peak, 3),
     }
 
 

@@ -43,6 +43,26 @@ def _fused_local_topk(u, it, k):
     )
 
 
+def sharded_retrieve(
+    mesh: Mesh,
+    user_table: jnp.ndarray,     # [U_pad, D] row-sharded table (need not fit one device)
+    item_table: jnp.ndarray,     # [N_pad, D] row-sharded over 'model'
+    user_ids: jnp.ndarray,       # [B] int32 global user ids, sharded over 'data'
+    k: int,
+    item_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Serving retrieval when BOTH tables are memory-sharded: user rows are
+    fetched with the explicit all-to-all lookup (`parallel/lookup.py` — the
+    query vectors cannot come from a local table copy when the table doesn't
+    fit one device), then scored against the row-sharded item table with the
+    distributed top-k merge.  This is the consuming path for the lookup data
+    plane (BASELINE config #5's serving side)."""
+    from serendipity_tpu.parallel.lookup import sharded_embedding_lookup
+
+    user_vecs = sharded_embedding_lookup(mesh, user_table, user_ids)
+    return sharded_score_topk(mesh, user_vecs, item_table, k, item_valid=item_valid)
+
+
 def sharded_score_topk(
     mesh: Mesh,
     user_vecs: jnp.ndarray,      # [B, D] queries, sharded over 'data'

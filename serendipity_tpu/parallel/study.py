@@ -285,30 +285,44 @@ def candidates_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "k", "div_weight", "degenerate_diag", "rel_factor"),
+    static_argnames=(
+        "mesh", "k", "div_weight", "degenerate_diag", "rel_factor", "block"
+    ),
 )
 def dpp_positions_sharded(
     mesh: Mesh,
-    cand: jnp.ndarray,          # [B_pad, C] int32, row-sharded chunk
+    cand: jnp.ndarray,          # [U_pad, C] int32, row-sharded (ALL users)
     ei_unit: jnp.ndarray,       # [N, D] l2-normalized, replicated
-    rel: Optional[jnp.ndarray],  # [B_pad, C] or None
+    rel: Optional[jnp.ndarray],  # [U_pad, C] or None
     k: int,
     div_weight: float = 0.5,
     degenerate_diag: bool = False,
     rel_factor: float = 1.0,
+    block: int = 256,
 ) -> jnp.ndarray:
-    """Sharded greedy-DPP positions for one user chunk -> [B_pad, k]."""
+    """Sharded greedy-DPP positions for ALL users in one dispatch -> [U_pad, k];
+    each device loops its user slice in `block`-row chunks (the [block, C, C]
+    kernel is the per-device HBM high-water mark)."""
     from serendipity_tpu.rec.dpp import dpp_select_block
 
     axes = flat_axes(mesh)
 
     def local(cand_l, ei_unit, *rel_l):
-        cand_emb = ei_unit[cand_l]
+        u_local = cand_l.shape[0]
         r = rel_l[0] if rel_l else None
-        return dpp_select_block(
-            cand_emb, r, k, div_weight=div_weight,
-            degenerate_diag=degenerate_diag, rel_factor=rel_factor,
-        )
+
+        def blk(rows):
+            ce = ei_unit[cand_l[rows]]
+            return (
+                dpp_select_block(
+                    ce, None if r is None else r[rows], k,
+                    div_weight=div_weight, degenerate_diag=degenerate_diag,
+                    rel_factor=rel_factor,
+                ),
+            )
+
+        out = loop_user_blocks(blk, u_local, block=min(block, u_local))[0]
+        return out[:u_local]
 
     args = (cand, ei_unit) + ((rel,) if rel is not None else ())
     in_specs = (P(axes, None), P()) + ((P(axes, None),) if rel is not None else ())

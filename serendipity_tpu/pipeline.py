@@ -68,7 +68,8 @@ def run_seed(
             cand = create_candidates(
                 inter, emb_user, emb_item, rcfg, seed=seed, mesh=mesh
             )
-    scorer = StrategyScorer(inter, emb_user, emb_item, cand, mesh=mesh)
+    with timer("scorer_init"):
+        scorer = StrategyScorer(inter, emb_user, emb_item, cand, mesh=mesh)
     with timer("strategy_scores"):
         scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
 
@@ -96,7 +97,8 @@ def run_seed(
             fused_names.append(name)
 
     if evaluator is None:
-        evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
+        with timer("evaluator_init"):
+            evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
     with timer("evaluate"):
         results = evaluator.evaluate_methods(recs, candidates=cand)
     methods = [m for m in rcfg.strategies] + fused_names
@@ -117,9 +119,10 @@ def run_seed(
 
     if out_dir:
         os.makedirs(seed_dir, exist_ok=True)
-        np.save(os.path.join(seed_dir, "candidate.npy"), cand)
-        for m, r in recs.items():
-            np.save(os.path.join(seed_dir, f"rec_{m}.npy"), r)
+        with timer("save_artifacts"):
+            np.save(os.path.join(seed_dir, "candidate.npy"), cand)
+            for m, r in recs.items():
+                np.save(os.path.join(seed_dir, f"rec_{m}.npy"), r)
         np.save(os.path.join(seed_dir, "single_factor_res.npy"), mat)
         if ser_mat is not None:
             np.save(os.path.join(seed_dir, "ser_label_res.npy"), ser_mat)
@@ -148,7 +151,8 @@ def run_study(
     mesh=None,
 ) -> Dict:
     """All seeds + mean/std aggregation (`sum_res_all_seed` contract)."""
-    evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
+    with timer("evaluator_init"):
+        evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
     mats, ser_mats, disents = [], [], []
     methods = None
     for seed in cfg.rec.seeds:

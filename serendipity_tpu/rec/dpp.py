@@ -103,6 +103,39 @@ def dpp_select_block(
     return dpp_select_kernels(sim, k, epsilon)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "div_weight", "degenerate_diag", "rel_factor", "block"),
+)
+def _dpp_positions_all(
+    cand: jnp.ndarray,                   # [U, C] int32
+    ei_unit: jnp.ndarray,                # [N, D] l2-normalized
+    rel: Optional[jnp.ndarray],          # [U, C] or None
+    k: int,
+    div_weight: float,
+    degenerate_diag: bool,
+    rel_factor: float,
+    block: int,
+) -> jnp.ndarray:
+    """All users in ONE dispatch: fori over user blocks of `block` (the [B, C, C]
+    kernel lives only inside the loop body).  The round-3 per-block host loop
+    synced one tunnel RPC per 256-user block — ~16 s of pure relay overhead for
+    a 52k-user catalog before any compute."""
+    from serendipity_tpu.rec.strategies import loop_user_blocks
+
+    def blk(rows):
+        ce = ei_unit[cand[rows]]
+        r = None if rel is None else rel[rows]
+        return (
+            dpp_select_block(
+                ce, r, k, div_weight=div_weight,
+                degenerate_diag=degenerate_diag, rel_factor=rel_factor,
+            ),
+        )
+
+    return loop_user_blocks(blk, cand.shape[0], block=block)[0]
+
+
 def dpp_rerank(
     candidates: np.ndarray,              # [U, C] int32
     emb_item: np.ndarray,                # [N, D]
@@ -110,54 +143,46 @@ def dpp_rerank(
     rel_scores: Optional[np.ndarray] = None,
     div_weight: float = 0.5,
     # 256 users x C=1000 kernels = ~1 GB of [B, C, C] similarity on device; larger
-    # blocks save little (dispatch overhead amortized) and risk HBM pressure
+    # blocks save little and risk HBM pressure
     user_block: int = 256,
     degenerate_diag: bool = False,
     rel_factor: float = 1.0,
     mesh=None,                           # jax Mesh: user_block users PER DEVICE
 ) -> np.ndarray:
-    """Host driver: [U, k] selected item ids.  With a mesh, each dispatch runs
-    `user_block` users on EVERY device (`parallel/study.dpp_positions_sharded`) —
-    the per-device HBM footprint is unchanged while wall-clock divides by the
-    device count (reference analog: `Pool(4)` at `recommend.py:261-284`)."""
+    """Host driver: [U, k] selected item ids, one dispatch + one fetch.  With a
+    mesh, the user axis fans out over all devices with the same per-device block
+    loop (`parallel/study.dpp_positions_sharded`) — per-device HBM footprint is
+    unchanged while wall-clock divides by the device count (reference analog:
+    `Pool(4)` at `recommend.py:261-284`)."""
     ei = np.asarray(emb_item, np.float32)
     ei = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
     ei_dev = jnp.asarray(ei)
     n_users = candidates.shape[0]
-    out = np.zeros((n_users, k), np.int32)
-    step = user_block
-    nd = 1
     if mesh is not None:
         from serendipity_tpu.parallel.study import (
             dpp_positions_sharded, mesh_devices, pad_users,
         )
 
         nd = mesh_devices(mesh)
-        step = user_block * nd
-    for s in range(0, n_users, step):
-        e = min(s + step, n_users)
-        if mesh is not None:
-            cand_np = pad_users(candidates[s:e].astype(np.int32), nd)
-            rel = (
-                None if rel_scores is None
-                else jnp.asarray(pad_users(rel_scores[s:e], nd))
+        cand_np = pad_users(candidates.astype(np.int32), nd)
+        rel = (
+            None if rel_scores is None
+            else jnp.asarray(pad_users(rel_scores.astype(np.float32), nd))
+        )
+        pos = np.asarray(
+            dpp_positions_sharded(
+                mesh, jnp.asarray(cand_np), ei_dev, rel, k,
+                div_weight=div_weight, degenerate_diag=degenerate_diag,
+                rel_factor=rel_factor, block=user_block,
             )
-            pos = np.asarray(
-                dpp_positions_sharded(
-                    mesh, jnp.asarray(cand_np), ei_dev, rel, k,
-                    div_weight=div_weight, degenerate_diag=degenerate_diag,
-                    rel_factor=rel_factor,
-                )
-            )[: e - s]
-        else:
-            cand = jnp.asarray(candidates[s:e])
-            cand_emb = ei_dev[cand]
-            rel = None if rel_scores is None else jnp.asarray(rel_scores[s:e])
-            pos = np.asarray(
-                dpp_select_block(
-                    cand_emb, rel, k, div_weight=div_weight,
-                    degenerate_diag=degenerate_diag, rel_factor=rel_factor,
-                )
+        )[:n_users]
+    else:
+        rel = None if rel_scores is None else jnp.asarray(rel_scores, jnp.float32)
+        pos = np.asarray(
+            _dpp_positions_all(
+                jnp.asarray(candidates, jnp.int32), ei_dev, rel, k,
+                div_weight=div_weight, degenerate_diag=degenerate_diag,
+                rel_factor=rel_factor, block=min(user_block, max(n_users, 1)),
             )
-        out[s:e] = np.take_along_axis(candidates[s:e], pos, axis=1)
-    return out
+        )[:n_users]
+    return np.take_along_axis(candidates, pos, axis=1).astype(np.int32)

@@ -234,7 +234,9 @@ class SerendipityEvaluator:
 
     # ---- ser1 ---------------------------------------------------------------
 
-    def acc_dif_arrays(self, mat_rec: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def acc_dif_arrays(
+        self, mat_rec: np.ndarray, return_raw_tr: bool = False
+    ):
         """Per-(user, rec-slot) acc and dif (`utils.py:23-38`):
         acc = norm(max-sim of rec item to TEST items),
         dif = 1 - norm(max-sim of rec item to TRAIN items)."""
@@ -269,6 +271,10 @@ class SerendipityEvaluator:
         ms_tr = np.asarray(ms_tr[:u])
         acc = (ms_te - self.ii_min) / denom
         dif = 1.0 - (ms_tr - self.ii_min) / denom
+        if return_raw_tr:
+            # raw train max-sims feed ser2 for free (`ser2_from_ms`) — computing
+            # them again in `_ser2_device` doubled the evaluate-stage wall
+            return acc.astype(np.float32), dif.astype(np.float32), ms_tr
         return acc.astype(np.float32), dif.astype(np.float32)
 
     @staticmethod
@@ -306,6 +312,34 @@ class SerendipityEvaluator:
             ],
             axis=1,
         ).astype(np.int32)
+
+    def ser2_from_ms(
+        self, mat_rec: np.ndarray, pm_sorted_keys: np.ndarray, ms_tr: np.ndarray
+    ) -> float:
+        """`ser2` from already-computed raw train max-sims (`acc_dif_arrays`
+    return_raw_tr) — only the pm-membership test remains, done on the host with
+    one searchsorted over row-offset keys.  Identical value to `ser2`."""
+        u = mat_rec.shape[0]
+        big = self.n_items + 1
+        q = (np.arange(u, dtype=np.int64)[:, None] * big + mat_rec).ravel()
+        pos = np.searchsorted(pm_sorted_keys, q)
+        pos_c = np.minimum(pos, len(pm_sorted_keys) - 1)
+        keep = ~(pm_sorted_keys[pos_c] == q).reshape(u, -1)
+        cnt = keep.sum(axis=1)
+        summed = (ms_tr * keep).sum(axis=1)
+        vals = np.where(cnt > 0, summed / np.maximum(cnt, 1), self.ii_min)
+        vals = vals[self.has_train]
+        return float(
+            (vals.mean() - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12)
+        )
+
+    @staticmethod
+    def pm_row_keys(pm: np.ndarray, n_items: int) -> np.ndarray:
+        """Globally sorted row-offset keys of the pm baseline for `ser2_from_ms`."""
+        u = pm.shape[0]
+        big = n_items + 1
+        keys = (np.arange(u, dtype=np.int64)[:, None] * big + np.sort(pm, axis=1)).ravel()
+        return keys
 
     def ser2(self, mat_rec: np.ndarray, pm: np.ndarray) -> float:
         """Unexpectedness vs the popularity/quality baseline (`utils.py:117-142`):
@@ -452,10 +486,12 @@ class SerendipityEvaluator:
             pm = self.create_pm(candidates)
 
         valid = self.ser1_valid
-        accs, difs = {}, {}
+        pm_keys = self.pm_row_keys(pm, self.n_items)
+        accs, difs, ser2s = {}, {}, {}
         for m, rec in recs.items():
-            a, d = self.acc_dif_arrays(rec)
+            a, d, ms_tr = self.acc_dif_arrays(rec, return_raw_tr=True)
             accs[m], difs[m] = a[valid], d[valid]
+            ser2s[m] = self.ser2_from_ms(rec, pm_keys, ms_tr)
         acc_max = max(
             float(np.max(exclude_outliers(a.reshape(-1)))) for a in accs.values()
         )
@@ -472,7 +508,7 @@ class SerendipityEvaluator:
             row["acc"] = float(a.mean())
             row["dif"] = float(d.mean())
             row["ser1"] = self.ser1_from_acc_dif(a, d)
-            row["ser2"] = self.ser2(rec, pm)
+            row["ser2"] = ser2s[m]
             if labeled:
                 # label-based serendipity columns (`utils.py:144-243`), with the
                 # reference's soft-negative (glb_ser_score=0.5) and only_pos

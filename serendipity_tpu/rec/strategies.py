@@ -385,11 +385,17 @@ def topk_from_scores(
 ) -> np.ndarray:
     """Selection form: top-k candidate ids by score, descending ([U, k] int32).
 
-    Selection runs on device (`ops/topk.topk_exact_2stage`, one dispatch); the
-    host argsort it replaces cost seconds per method at study scale."""
-    from serendipity_tpu.ops.topk import topk_exact_2stage
-
-    _, order = topk_exact_2stage(jnp.asarray(scores, jnp.float32), k)
-    return np.take_along_axis(
-        candidates, np.asarray(order), axis=1
-    ).astype(np.int32)
+    Host-side argpartition over the candidate axis (C ~ 1000): the round-3
+    device top-k was dominated by shipping the [U, C] score matrix up a ~50 MB/s
+    tunnel (~4 s per method at amazon scale for ~1 s of selection work).
+    Tie order matches `lax.top_k` (lowest candidate index wins) by ordering the
+    partitioned k by index before the stable value sort."""
+    scores = np.asarray(scores, np.float32)
+    k = min(k, scores.shape[1])
+    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+    ordix = np.argsort(part, axis=1, kind="stable")
+    part = np.take_along_axis(part, ordix, axis=1)
+    vals = np.take_along_axis(scores, part, axis=1)
+    fin = np.argsort(-vals, axis=1, kind="stable")
+    top = np.take_along_axis(part, fin, axis=1)
+    return np.take_along_axis(candidates, top, axis=1).astype(np.int32)

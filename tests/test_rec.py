@@ -221,6 +221,12 @@ def test_ser2_bruteforce(setup):
     ref = (np.mean(vals) - mn) / (mx - mn)
     assert got == pytest.approx(ref, rel=1e-4)
 
+    # fused path (evaluate_methods): ser2 reconstructed from the acc_dif raw
+    # train max-sims must equal the standalone device pass
+    _, _, ms_tr = ev.acc_dif_arrays(rec, return_raw_tr=True)
+    got2 = ev.ser2_from_ms(rec, ev.pm_row_keys(pm, tiny.n_items), ms_tr)
+    assert got2 == pytest.approx(got, rel=1e-5)
+
 
 def test_hr_ndcg_ser(setup):
     tiny, eu, ei, cfg, cand = setup

@@ -93,6 +93,26 @@ def test_sharded_embedding_lookup(mesh42):
     np.testing.assert_allclose(np.asarray(out2), table[ids2], rtol=1e-6)
 
 
+def test_sharded_retrieve_both_tables_sharded(mesh42):
+    """Serving path with BOTH tables row-sharded: all-to-all user-row lookup
+    feeding the distributed top-k merge must equal dense retrieval."""
+    from serendipity_tpu.parallel.retrieval import sharded_retrieve
+
+    rng = np.random.default_rng(5)
+    ut = rng.standard_normal((64, 16)).astype(np.float32)
+    it = rng.standard_normal((48, 16)).astype(np.float32)
+    ids = rng.integers(0, 64, size=16).astype(np.int32)
+    v, idx = sharded_retrieve(
+        mesh42, jnp.asarray(ut), jnp.asarray(it), jnp.asarray(ids), 8
+    )
+    scores = ut[ids] @ it.T
+    ref = np.sort(scores, axis=1)[:, ::-1][:, :8]
+    np.testing.assert_allclose(np.asarray(v), ref, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, np.asarray(idx), 1), ref, rtol=1e-5
+    )
+
+
 def test_retrieval_service_mesh_path(mesh42, tiny_inter):
     """Pure-accuracy retrieval routed through the sharded mesh path."""
     from serendipity_tpu.rec.service import RetrievalService
