@@ -51,6 +51,12 @@ def build_device_data(
     adj: BipartiteAdjacency | None = None,
     use_ell: bool = True,
     ell_width: int = 16,
+    # hybrid TAIL rows are low-degree by construction (only edges of
+    # below-head-cutoff items), so a narrow ELL wins: width 4 measured
+    # 9.99 ms/step vs 12.06 at 16 at gowalla scale (round-4 sweep; width 2
+    # regresses on segment fixed costs).  Pure-ELL modes keep ell_width=16
+    # (tuned round 3 for full-degree distributions).
+    tail_ell_width: int = 4,
     adj_type: str = "pre",
     joint: bool = False,
     spmm_mode: str = "auto",
@@ -94,7 +100,7 @@ def build_device_data(
     if spmm_mode in ("auto", "hybrid"):
         from serendipity_tpu.ops.spmm_hybrid import split_bipartite_hybrid_spmm
 
-        kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=ell_width)
+        kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=tail_ell_width)
         spmm_split = split_bipartite_hybrid_spmm(inter, adj.u_w[:e], adj.i_w[:e], **kw)
         if spmm_split is None:
             if spmm_mode == "hybrid":
