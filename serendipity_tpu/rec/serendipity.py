@@ -74,6 +74,30 @@ def _acc_dif_device(
     return loop_user_blocks(blk, mat_rec.shape[0], block=block)
 
 
+@partial(jax.jit, static_argnames=("n_items", "h_te", "h_tr", "block"))
+def _acc_dif_subset(
+    rec_s: jnp.ndarray,         # [B_sub, K] gathered rec rows
+    ei_pad: jnp.ndarray,
+    te_start: jnp.ndarray, te_deg: jnp.ndarray, te_idx: jnp.ndarray,
+    tr_start: jnp.ndarray, tr_deg: jnp.ndarray, tr_idx: jnp.ndarray,
+    n_items: int, h_te: int, h_tr: int, block: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`_acc_dif_device` over a degree bucket (pre-gathered user subset) —
+    padded-history widths sized to the bucket, not the global max."""
+    from serendipity_tpu.rec.strategies import padded_rows_start_deg
+
+    def blk(rows):
+        rec_emb = ei_pad[rec_s[rows]]
+        te = padded_rows_start_deg(te_start[rows], te_deg[rows], te_idx, h_te, n_items)
+        tr = padded_rows_start_deg(tr_start[rows], tr_deg[rows], tr_idx, h_tr, n_items)
+        return (
+            max_sim_chunked(rec_emb, te, ei_pad, n_items),
+            max_sim_chunked(rec_emb, tr, ei_pad, n_items),
+        )
+
+    return loop_user_blocks(blk, rec_s.shape[0], block=min(block, rec_s.shape[0]))
+
+
 @partial(jax.jit, static_argnames=("n_items", "h_tr", "block"))
 def _ser2_device(
     mat_rec: jnp.ndarray,       # [U, K] int32
@@ -261,12 +285,38 @@ class SerendipityEvaluator:
                 block=self.user_block,
             )
         else:
-            ms_te, ms_tr = _acc_dif_device(
-                jnp.asarray(mat_rec, jnp.int32), self.ei_pad,
-                self._te_ptr, self._te_idx, self._tr_ptr, self._tr_idx,
-                n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
-                block=self.user_block,
-            )
+            # degree-bucketed (see strategies.degree_buckets): whale users get
+            # the true max history width, everyone else the P95 width
+            from serendipity_tpu.rec.strategies import degree_buckets
+
+            tr_deg_all = np.diff(self.inter.train_indptr)
+            te_deg_all = np.diff(self.inter.test_indptr)
+            tr_starts = self.inter.train_indptr[:-1].astype(np.int32)
+            te_starts = self.inter.test_indptr[:-1].astype(np.int32)
+            ms_te = np.empty((u, k), np.float32)
+            ms_tr = np.empty((u, k), np.float32)
+            for users_b, h_tr_b in degree_buckets(tr_deg_all):
+                h_te_b = ((max(int(te_deg_all[users_b].max(initial=1)), 1)
+                           + 127) // 128) * 128
+                a_b, d_b = _acc_dif_subset(
+                    jnp.asarray(mat_rec[users_b], jnp.int32), self.ei_pad,
+                    jnp.asarray(te_starts[users_b]),
+                    jnp.asarray(te_deg_all[users_b].astype(np.int32)),
+                    self._te_idx,
+                    jnp.asarray(tr_starts[users_b]),
+                    jnp.asarray(tr_deg_all[users_b].astype(np.int32)),
+                    self._tr_idx,
+                    n_items=self.n_items, h_te=h_te_b, h_tr=h_tr_b,
+                    block=self.user_block,
+                )
+                ms_te[users_b] = np.asarray(a_b[: len(users_b)])
+                ms_tr[users_b] = np.asarray(d_b[: len(users_b)])
+            denom = max(self.ii_max - self.ii_min, 1e-12)
+            acc = (ms_te - self.ii_min) / denom
+            dif = 1.0 - (ms_tr - self.ii_min) / denom
+            if return_raw_tr:
+                return acc.astype(np.float32), dif.astype(np.float32), ms_tr
+            return acc.astype(np.float32), dif.astype(np.float32)
         ms_te = np.asarray(ms_te[:u])
         ms_tr = np.asarray(ms_tr[:u])
         acc = (ms_te - self.ii_min) / denom

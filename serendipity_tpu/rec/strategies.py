@@ -141,6 +141,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def degree_buckets(deg: np.ndarray, q: float = 0.95, align: int = 128):
+    """[(user_ids, h)] partition for degree-bucketed max-sim passes.
+
+    Padded-history kernels cost O(U * h_max): one whale user inflates every
+    row's padded width (ML-25M-scale synth: max degree ~2k vs mean 74 — 26x
+    wasted FLOPs).  Two buckets — 'normal' users at the P95 width and the heavy
+    tail at the true max — recover most of it with only one extra compiled
+    shape.  Per-user results are identical (pad slots are masked to -inf)."""
+    deg = np.asarray(deg)
+    h_hi = _round_up(max(int(deg.max(initial=1)), 1), align)
+    h_lo = _round_up(max(int(np.quantile(deg, q)), 1), align)
+    if h_lo >= h_hi:
+        return [(np.arange(len(deg)), h_hi)]
+    lo = np.nonzero(deg <= h_lo)[0]
+    hi = np.nonzero(deg > h_lo)[0]
+    return [(lo, h_lo), (hi, h_hi)]
+
+
 def loop_user_blocks(fn, n_users: int, block: int = 1024, block_align: int = 8):
     """TRACED helper (call inside a jit you cache): run `fn(rows [block]) -> pytree
     of [block, ...]` over all users with a `fori_loop` writing into preallocated
@@ -208,6 +226,35 @@ def _raw_and_maxsim_all(
         return raw, ms
 
     return loop_user_blocks(blk, n_users)
+
+
+@partial(jax.jit, static_argnames=("n_items", "h_max", "block"))
+def _raw_and_maxsim_subset(
+    eu_s: jnp.ndarray,          # [B_sub, D] gathered user rows
+    ei_pad: jnp.ndarray,
+    cand_s: jnp.ndarray,        # [B_sub, C]
+    tr_start: jnp.ndarray,      # [B_sub] gathered CSR starts
+    tr_deg: jnp.ndarray,        # [B_sub]
+    tr_idx: jnp.ndarray,
+    n_items: int,
+    h_max: int,
+    block: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`_raw_and_maxsim_all` over a degree bucket (pre-gathered user subset)."""
+    n_sub = eu_s.shape[0]
+
+    def blk(rows):
+        ce = ei_pad[cand_s[rows]]
+        raw = jnp.einsum(
+            "bd,bcd->bc", eu_s[rows], ce, preferred_element_type=jnp.float32
+        )
+        hist = padded_rows_start_deg(
+            tr_start[rows], tr_deg[rows], tr_idx, h_max, n_items
+        )
+        ms = max_sim_chunked(ce, hist, ei_pad, n_items)
+        return raw, ms
+
+    return loop_user_blocks(blk, n_sub, block=min(block, n_sub))
 
 
 class StrategyScorer:
@@ -301,15 +348,30 @@ class StrategyScorer:
                     h_max=h_max,
                 )
             else:
-                raw, ms = _raw_and_maxsim_all(
-                    jnp.asarray(self.emb_user),
-                    self.ei_pad,
-                    jnp.asarray(self.candidates, dtype=jnp.int32),
-                    jnp.asarray(self.inter.train_indptr, jnp.int32),
-                    jnp.asarray(self.inter.train_indices, jnp.int32),
-                    n_items=self.n_items,
-                    h_max=h_max,
-                )
+                # degree-bucketed: normal users at the P95 history width, the
+                # heavy tail at the true max — identical results, up to ~10x
+                # fewer padded-history FLOPs on skewed graphs
+                deg = np.diff(self.inter.train_indptr)
+                tr_idx = jnp.asarray(self.inter.train_indices, jnp.int32)
+                starts = self.inter.train_indptr[:-1].astype(np.int32)
+                c = self.candidates.shape[1]
+                raw = np.empty((self.n_users, c), np.float32)
+                ms = np.empty((self.n_users, c), np.float32)
+                for users_b, h in degree_buckets(deg):
+                    r_b, m_b = _raw_and_maxsim_subset(
+                        jnp.asarray(self.emb_user[users_b]),
+                        self.ei_pad,
+                        jnp.asarray(self.candidates[users_b], jnp.int32),
+                        jnp.asarray(starts[users_b]),
+                        jnp.asarray(deg[users_b].astype(np.int32)),
+                        tr_idx,
+                        n_items=self.n_items,
+                        h_max=h,
+                    )
+                    raw[users_b] = np.asarray(r_b[: len(users_b)])
+                    ms[users_b] = np.asarray(m_b[: len(users_b)])
+                self._raw_ms = (raw, ms)
+                return self._raw_ms
             self._raw_ms = (
                 np.asarray(raw[: self.n_users]),
                 np.asarray(ms[: self.n_users]),

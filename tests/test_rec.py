@@ -480,3 +480,57 @@ def test_jaccard_matrix_vs_sets(setup):
             ]
             exp[i, j] = np.mean(ds)
     np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_degree_bucketed_maxsim_parity():
+    """Two-bucket degree partition must reproduce the single-width pass exactly
+    (pads are masked; only wasted FLOPs differ).  Uses a skewed graph with
+    whale users above the 128-aligned bucket boundary."""
+    import jax.numpy as jnp
+
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.rec.strategies import (
+        _raw_and_maxsim_all,
+        _round_up,
+        degree_buckets,
+    )
+
+    inter = synthetic_interactions(240, 400, avg_degree=110, seed=4)
+    deg = np.diff(inter.train_indptr)
+    buckets = degree_buckets(deg)
+    assert len(buckets) == 2, f"want a split, max deg {deg.max()}"
+    rng = np.random.default_rng(0)
+    eu = rng.standard_normal((inter.n_users, 16)).astype(np.float32)
+    ei = rng.standard_normal((inter.n_items, 16)).astype(np.float32)
+    cand = np.stack(
+        [rng.choice(inter.n_items, size=30, replace=False)
+         for _ in range(inter.n_users)]
+    ).astype(np.int32)
+    inter.item_counts = np.diff(inter.train_indptr_by_item).astype(np.float64)
+    sc = StrategyScorer(inter, eu, ei, cand, user_block=32)
+    raw_b, ms_b = sc._raw_and_maxsim()          # bucketed path (mesh=None)
+    h = _round_up(int(deg.max()), 128)
+    raw_a, ms_a = _raw_and_maxsim_all(
+        jnp.asarray(eu), sc.ei_pad, jnp.asarray(cand, jnp.int32),
+        jnp.asarray(inter.train_indptr, jnp.int32),
+        jnp.asarray(inter.train_indices, jnp.int32),
+        n_items=inter.n_items, h_max=h,
+    )
+    np.testing.assert_allclose(raw_b, np.asarray(raw_a)[: inter.n_users], atol=1e-5)
+    np.testing.assert_allclose(ms_b, np.asarray(ms_a)[: inter.n_users], atol=1e-5)
+
+    # acc/dif bucketed path parity too
+    ev = SerendipityEvaluator(inter, ei, user_block=32)
+    rec = cand[:, :10]
+    acc, dif = ev.acc_dif_arrays(rec)
+    ii = ei @ ei.T
+    mn, mx = ii.min(), ii.max()
+    for u in (int(np.argmax(deg)), 0, 7):
+        te = inter.test_items_of(u)
+        tr = inter.train_items_of(u)
+        if len(te) == 0 or len(tr) == 0:
+            continue
+        acc_ref = ((ei[rec[u]] @ ei[te].T).max(1) - mn) / (mx - mn)
+        dif_ref = 1 - ((ei[rec[u]] @ ei[tr].T).max(1) - mn) / (mx - mn)
+        np.testing.assert_allclose(acc[u], acc_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(dif[u], dif_ref, rtol=1e-4, atol=1e-4)
