@@ -190,35 +190,48 @@ def ser2_sharded(
     )(mat_rec, pm_sorted, tr_start, tr_deg, ei_pad, tr_idx, ii_min)
 
 
+@partial(jax.jit, static_argnames=("mesh", "block"))
+def _minmax_sharded_jit(mesh: Mesh, eu: jnp.ndarray, ei: jnp.ndarray, block: int):
+    """Global fp16-rounded (min, max) of a user-chunk over the mesh."""
+    from serendipity_tpu.rec.candidates import _minmax_all
+
+    axes = flat_axes(mesh)
+
+    def local(eu_l, ei):
+        mn_l, mx_l = _minmax_all(eu_l, ei, True, min(block, eu_l.shape[0]))
+        return jax.lax.pmin(mn_l, axes), jax.lax.pmax(mx_l, axes)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axes, None), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )(eu, ei)
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "mesh", "k_c", "num_fold", "n_items", "h_max", "block", "bin_eps"
-    ),
+    static_argnames=("mesh", "k_c", "num_fold", "n_items", "h_max", "block"),
 )
 def _candidates_sharded_jit(
     mesh: Mesh,
     key: jnp.ndarray,
-    eu: jnp.ndarray,            # [U_pad, D]   row-sharded
-    ei: jnp.ndarray,            # [N, D]       replicated
-    uid: jnp.ndarray,           # [U_pad]      global user ids, row-sharded
+    eu: jnp.ndarray,            # [B_chunk, D]  row-sharded user chunk
+    ei: jnp.ndarray,            # [N, D]        replicated
+    uid: jnp.ndarray,           # [B_chunk]     global user ids, row-sharded
     tr_start: jnp.ndarray, tr_deg: jnp.ndarray, tr_idx: jnp.ndarray,
-    n_keep: jnp.ndarray,        # [U_pad] int32, row-sharded
+    n_keep: jnp.ndarray,        # [B_chunk] int32, row-sharded
+    mn: jnp.ndarray, mx: jnp.ndarray,     # global score range (replicated)
     k_c: int, num_fold: int, n_items: int, h_max: int, block: int,
-    bin_eps: float,
 ) -> jnp.ndarray:
-    """Sharded `rec/candidates._candidates_all`: global min/max via pmin/pmax,
-    then per-device stratified sampling over the local user slice.  Per-user
-    keyed priorities make the result identical to the single-chip path."""
-    from serendipity_tpu.rec.candidates import _block_candidates, _minmax_all
+    """Sharded stratified sampling for one user chunk.  Per-user keyed
+    priorities make the result identical to the single-chip path; the stage is
+    host-chunked like the single-chip path (multi-minute single dispatches
+    crash tunneled workers)."""
+    from serendipity_tpu.rec.candidates import _block_candidates
 
     axes = flat_axes(mesh)
 
-    def local(key, eu_l, uid_l, tr_s, tr_d, nk_l, ei, tr_idx):
+    def local(key, eu_l, uid_l, tr_s, tr_d, nk_l, mn, mx, ei, tr_idx):
         u_local = eu_l.shape[0]
-        mn_l, mx_l = _minmax_all(eu_l, ei, True, min(block, u_local))
-        mn = jax.lax.pmin(mn_l, axes)
-        mx = jax.lax.pmax(mx_l, axes) + jnp.float32(bin_eps)
 
         def blk(rows):
             hist = padded_rows_start_deg(
@@ -244,11 +257,12 @@ def _candidates_sharded_jit(
         local,
         mesh=mesh,
         in_specs=(
-            P(), P(axes, None), P(axes), P(axes), P(axes), P(axes), P(), P(),
+            P(), P(axes, None), P(axes), P(axes), P(axes), P(axes),
+            P(), P(), P(), P(),
         ),
         out_specs=P(axes, None),
         check_vma=False,
-    )(key, eu, uid, tr_start, tr_deg, n_keep, ei, tr_idx)
+    )(key, eu, uid, tr_start, tr_deg, n_keep, mn, mx, ei, tr_idx)
 
 
 def candidates_sharded(
@@ -260,27 +274,53 @@ def candidates_sharded(
     n_keep: np.ndarray,
     *,
     k_c: int, num_fold: int, bin_eps: float, h_max: int, block: int,
-) -> jnp.ndarray:
-    """Host wrapper: pad the user axis to the device count (pad rows DUPLICATE
-    the last user so the global min/max is unchanged) and fan out."""
+    users_per_dispatch: int | None = None,
+):
+    """Host wrapper: chunk the user axis (each chunk clamp-padded to one common
+    shape, rows duplicating the last user so min/max is unchanged) and fan each
+    chunk out over the mesh.  Returns a list of per-chunk device arrays."""
+    from serendipity_tpu.rec.candidates import USERS_PER_DISPATCH, _chunk_rows
+
     nd = mesh_devices(mesh)
     u = inter.n_users
-    eu = np.asarray(emb_user, np.float32)
-    pad = (-u) % nd
-    if pad:
-        eu = np.concatenate([eu, np.repeat(eu[-1:], pad, axis=0)], axis=0)
+    eu = jnp.asarray(np.asarray(emb_user, np.float32))
+    ei = jnp.asarray(emb_item, jnp.float32)
     tr_s, tr_d = csr_start_deg(inter.train_indptr)
-    uid = np.minimum(np.arange(u + pad, dtype=np.int32), u - 1)
-    return _candidates_sharded_jit(
-        mesh, key,
-        jnp.asarray(eu), jnp.asarray(emb_item, jnp.float32),
-        jnp.asarray(uid),
-        jnp.asarray(pad_users(tr_s, nd)), jnp.asarray(pad_users(tr_d, nd)),
-        jnp.asarray(inter.train_indices, jnp.int32),
-        jnp.asarray(pad_users(np.asarray(n_keep, np.int32), nd)),
-        k_c=k_c, num_fold=num_fold, n_items=inter.n_items, h_max=h_max,
-        block=block, bin_eps=bin_eps,
-    )
+    n_keep = np.asarray(n_keep, np.int32)
+    tr_idx = jnp.asarray(inter.train_indices, jnp.int32)
+
+    per = users_per_dispatch or USERS_PER_DISPATCH
+    chunk = min(-(-min(per, u) // nd) * nd, -(-u // nd) * nd)
+
+    mns, mxs = [], []
+    row_sets = []
+    for s, _c in _chunk_rows(u, chunk):
+        rows = np.minimum(np.arange(s, s + chunk, dtype=np.int64), u - 1)
+        row_sets.append((s, _c, rows))
+        a, b = _minmax_sharded_jit(mesh, eu[rows], ei, block)
+        mns.append(a)
+        mxs.append(b)
+    mn, mx = mns[0], mxs[0]
+    for a, b in zip(mns[1:], mxs[1:]):
+        mn = jnp.minimum(mn, a)
+        mx = jnp.maximum(mx, b)
+    mx = mx + jnp.float32(bin_eps)
+
+    out = []
+    for s, c, rows in row_sets:
+        part = _candidates_sharded_jit(
+            mesh, key,
+            eu[rows], ei,
+            jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(tr_s[rows]), jnp.asarray(tr_d[rows]),
+            tr_idx,
+            jnp.asarray(n_keep[rows]),
+            mn, mx,
+            k_c=k_c, num_fold=num_fold, n_items=inter.n_items, h_max=h_max,
+            block=block,
+        )
+        out.append(part[:c])
+    return out
 
 
 @partial(

@@ -76,19 +76,49 @@ def _minmax_all(eu: jnp.ndarray, ei: jnp.ndarray, fp16: bool, block: int):
     return jax.lax.fori_loop(0, n_steps, body, init)
 
 
+USERS_PER_DISPATCH = 32768   # keep single executions well under the tunneled
+                             # worker's tolerance (multi-minute dispatches crash
+                             # it); dispatches pipeline, so chunking is free
+
+
+def _chunk_rows(n: int, chunk: int):
+    """[(start, padded_len)] host chunking; the last chunk pads by clamping."""
+    return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
+
+
+def _minmax_chunked(eu: jnp.ndarray, ei: jnp.ndarray, fp16: bool, block: int):
+    """Global (min, max) device scalars, host-chunked over users."""
+    n = eu.shape[0]
+    chunk = USERS_PER_DISPATCH
+    if n <= chunk:
+        return _minmax_all(eu, ei, fp16, block)
+    parts = []
+    for s, _c in _chunk_rows(n, chunk):
+        # clamp-pad short chunks to one compiled shape (duplicate rows cannot
+        # change a min/max)
+        rows = np.minimum(np.arange(s, s + chunk), n - 1)
+        parts.append(_minmax_all(eu[rows], ei, fp16, block))
+    mn = parts[0][0]
+    mx = parts[0][1]
+    for a, b in parts[1:]:
+        mn = jnp.minimum(mn, a)
+        mx = jnp.maximum(mx, b)
+    return mn, mx
+
+
 def global_score_minmax(
     emb_user: jnp.ndarray,
     emb_item: jnp.ndarray,
     user_block: int = 1024,
     fp16: bool = True,
 ) -> Tuple[float, float]:
-    """Global min/max of U @ I^T, blocked over users, one dispatch.
+    """Global min/max of U @ I^T, blocked over users, device-accumulated.
 
     The reference computes the full matrix in fp16 (`recommend.py:375`); we reduce
     per block with the matmul in fp32 and optionally round through fp16 to preserve
     the reference's binning boundaries.
     """
-    mn, mx = _minmax_all(
+    mn, mx = _minmax_chunked(
         jnp.asarray(emb_user, jnp.float32), jnp.asarray(emb_item, jnp.float32),
         fp16, user_block,
     )
@@ -192,31 +222,37 @@ def _block_candidates(
 
 @partial(
     jax.jit,
-    static_argnames=("k_c", "num_fold", "n_items", "h_max", "block", "bin_eps"),
+    static_argnames=("k_c", "num_fold", "n_items", "h_max", "block"),
 )
-def _candidates_all(
+def _candidates_chunk(
     key: jax.Array,
-    eu: jnp.ndarray,                 # [U, D]
+    eu_c: jnp.ndarray,               # [B_chunk, D] user-chunk embeddings
     ei: jnp.ndarray,                 # [N, D]
-    tr_ptr: jnp.ndarray,             # [U+1] int32 train CSR
+    uids: jnp.ndarray,               # [B_chunk] global user ids (RNG keying)
+    tr_start: jnp.ndarray,           # [B_chunk] CSR starts (gathered)
+    tr_deg: jnp.ndarray,             # [B_chunk]
     tr_idx: jnp.ndarray,             # [nnz] int32
-    n_keep: jnp.ndarray,             # [U] int32
+    n_keep: jnp.ndarray,             # [B_chunk] int32
+    mn: jnp.ndarray,                 # global score min (device scalar)
+    mx: jnp.ndarray,                 # global score max + eps (device scalar)
     k_c: int,
     num_fold: int,
     n_items: int,
     h_max: int,
     block: int,
-    bin_eps: float,
 ) -> jnp.ndarray:
-    """Whole candidate stage in ONE dispatch: min/max pass + sampling pass."""
-    from serendipity_tpu.rec.strategies import loop_user_blocks, padded_rows_device
+    """Stratified sampling for one user chunk -> [B_chunk, k_c].
 
-    n_users = eu.shape[0]
-    mn, mx = _minmax_all(eu, ei, True, block)
-    mx = mx + jnp.float32(bin_eps)                               # `recommend.py:377`
+    The stage is host-chunked (`users_per_dispatch`) rather than one whole-graph
+    dispatch: a multi-minute single execution crashes tunneled TPU workers at
+    ML-25M scale (observed round 4), and chunked dispatches pipeline
+    asynchronously anyway, so the wall cost of splitting is nil."""
+    from serendipity_tpu.rec.strategies import loop_user_blocks, padded_rows_start_deg
 
     def blk(rows):
-        hist = padded_rows_device(tr_ptr, tr_idx, rows, h_max, n_items)
+        hist = padded_rows_start_deg(
+            tr_start[rows], tr_deg[rows], tr_idx, h_max, n_items
+        )
         b = rows.shape[0]
         train_mask = (
             jnp.zeros((b, n_items + 1), jnp.bool_)
@@ -225,12 +261,12 @@ def _candidates_all(
         )
         return (
             _block_candidates(
-                key, eu[rows], ei, rows, train_mask, n_keep[rows],
+                key, eu_c[rows], ei, uids[rows], train_mask, n_keep[rows],
                 mn, mx, k_c, num_fold, n_items,
             ),
         )
 
-    return loop_user_blocks(blk, n_users, block=block)[0]
+    return loop_user_blocks(blk, eu_c.shape[0], block=min(block, eu_c.shape[0]))[0]
 
 
 def append_test_tail(out: np.ndarray, inter: Interactions, k_c: int) -> np.ndarray:
@@ -273,22 +309,37 @@ def create_candidates(
     if mesh is not None:
         from serendipity_tpu.parallel.study import candidates_sharded
 
-        cand = candidates_sharded(
+        cand_parts = candidates_sharded(
             mesh, key, inter, emb_user, emb_item, n_keep,
             k_c=k_c, num_fold=cfg.n_score_bins, bin_eps=cfg.bin_epsilon,
             h_max=h_max, block=user_block,
         )
     else:
-        cand = _candidates_all(
-            key,
-            jnp.asarray(emb_user, jnp.float32),
-            jnp.asarray(emb_item, jnp.float32),
-            jnp.asarray(inter.train_indptr, jnp.int32),
-            jnp.asarray(inter.train_indices, jnp.int32),
-            jnp.asarray(n_keep),
-            k_c=k_c, num_fold=cfg.n_score_bins, n_items=n_items,
-            h_max=h_max, block=min(user_block, max(n_users, 1)),
-            bin_eps=cfg.bin_epsilon,
-        )
-    out = np.asarray(cand)[:n_users].copy()
-    return append_test_tail(out, inter, k_c)
+        eu = jnp.asarray(emb_user, jnp.float32)
+        ei = jnp.asarray(emb_item, jnp.float32)
+        tr_idx = jnp.asarray(inter.train_indices, jnp.int32)
+        starts = inter.train_indptr[:-1].astype(np.int32)
+        degs = np.diff(inter.train_indptr).astype(np.int32)
+        mn, mx = _minmax_chunked(eu, ei, True, min(user_block, max(n_users, 1)))
+        mx = mx + jnp.float32(cfg.bin_epsilon)                   # `recommend.py:377`
+        cand_parts = []
+        chunk = min(USERS_PER_DISPATCH, n_users)
+        for s, c in _chunk_rows(n_users, chunk):
+            # pad short (last) chunks to the common size by repeating the last
+            # user — keeps ONE compiled shape per dataset (each distinct shape
+            # costs a full kernel compile on remote toolchains)
+            rows = np.minimum(np.arange(s, s + chunk, dtype=np.int32), n_users - 1)
+            cand_parts.append(
+                _candidates_chunk(
+                    key, eu[rows], ei, jnp.asarray(rows),
+                    jnp.asarray(starts[rows]), jnp.asarray(degs[rows]),
+                    tr_idx, jnp.asarray(n_keep[rows]), mn, mx,
+                    k_c=k_c, num_fold=cfg.n_score_bins, n_items=n_items,
+                    h_max=h_max, block=min(user_block, chunk),
+                )[:c]
+            )
+    if isinstance(cand_parts, list):
+        out = np.concatenate([np.asarray(p) for p in cand_parts])[:n_users]
+    else:
+        out = np.asarray(cand_parts)[:n_users].copy()
+    return append_test_tail(np.ascontiguousarray(out), inter, k_c)

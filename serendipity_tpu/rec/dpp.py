@@ -158,31 +158,39 @@ def dpp_rerank(
     ei = ei / np.maximum(np.linalg.norm(ei, axis=1, keepdims=True), 1e-12)
     ei_dev = jnp.asarray(ei)
     n_users = candidates.shape[0]
+    from serendipity_tpu.rec.candidates import USERS_PER_DISPATCH, _chunk_rows
+
+    # host-chunked dispatches (~<1 min of device work each; multi-minute
+    # single executions crash tunneled workers), clamp-padded to one shape
+    cand32 = candidates.astype(np.int32)
+    rel32 = None if rel_scores is None else rel_scores.astype(np.float32)
+    chunk = min(USERS_PER_DISPATCH * 2, n_users)
     if mesh is not None:
-        from serendipity_tpu.parallel.study import (
-            dpp_positions_sharded, mesh_devices, pad_users,
-        )
+        from serendipity_tpu.parallel.study import mesh_devices
 
         nd = mesh_devices(mesh)
-        cand_np = pad_users(candidates.astype(np.int32), nd)
-        rel = (
-            None if rel_scores is None
-            else jnp.asarray(pad_users(rel_scores.astype(np.float32), nd))
-        )
-        pos = np.asarray(
-            dpp_positions_sharded(
-                mesh, jnp.asarray(cand_np), ei_dev, rel, k,
+        chunk = -(-chunk // nd) * nd
+    parts = []
+    for s, c in _chunk_rows(n_users, chunk):
+        rows = np.minimum(np.arange(s, s + chunk), n_users - 1)
+        cand_c = jnp.asarray(cand32[rows])
+        rel_c = None if rel32 is None else jnp.asarray(rel32[rows])
+        if mesh is not None:
+            from serendipity_tpu.parallel.study import dpp_positions_sharded
+
+            pos_c = dpp_positions_sharded(
+                mesh, cand_c, ei_dev, rel_c, k,
                 div_weight=div_weight, degenerate_diag=degenerate_diag,
                 rel_factor=rel_factor, block=user_block,
             )
-        )[:n_users]
-    else:
-        rel = None if rel_scores is None else jnp.asarray(rel_scores, jnp.float32)
-        pos = np.asarray(
-            _dpp_positions_all(
-                jnp.asarray(candidates, jnp.int32), ei_dev, rel, k,
+        else:
+            pos_c = _dpp_positions_all(
+                cand_c, ei_dev, rel_c, k,
                 div_weight=div_weight, degenerate_diag=degenerate_diag,
-                rel_factor=rel_factor, block=min(user_block, max(n_users, 1)),
+                rel_factor=rel_factor, block=min(user_block, chunk),
             )
-        )[:n_users]
+        parts.append((s, c, pos_c))
+    pos = np.empty((n_users, k), np.int32)
+    for s, c, p in parts:
+        pos[s:s + c] = np.asarray(p[:c])
     return np.take_along_axis(candidates, pos, axis=1).astype(np.int32)

@@ -351,6 +351,10 @@ class StrategyScorer:
                 # degree-bucketed: normal users at the P95 history width, the
                 # heavy tail at the true max — identical results, up to ~10x
                 # fewer padded-history FLOPs on skewed graphs
+                from serendipity_tpu.rec.candidates import (
+                    USERS_PER_DISPATCH, _chunk_rows,
+                )
+
                 deg = np.diff(self.inter.train_indptr)
                 tr_idx = jnp.asarray(self.inter.train_indices, jnp.int32)
                 starts = self.inter.train_indptr[:-1].astype(np.int32)
@@ -358,18 +362,29 @@ class StrategyScorer:
                 raw = np.empty((self.n_users, c), np.float32)
                 ms = np.empty((self.n_users, c), np.float32)
                 for users_b, h in degree_buckets(deg):
-                    r_b, m_b = _raw_and_maxsim_subset(
-                        jnp.asarray(self.emb_user[users_b]),
-                        self.ei_pad,
-                        jnp.asarray(self.candidates[users_b], jnp.int32),
-                        jnp.asarray(starts[users_b]),
-                        jnp.asarray(deg[users_b].astype(np.int32)),
-                        tr_idx,
-                        n_items=self.n_items,
-                        h_max=h,
-                    )
-                    raw[users_b] = np.asarray(r_b[: len(users_b)])
-                    ms[users_b] = np.asarray(m_b[: len(users_b)])
+                    # host-chunked dispatches (clamp-padded to one shape per
+                    # bucket): multi-minute single executions crash tunneled
+                    # workers, and chunks pipeline asynchronously anyway
+                    chunk = min(USERS_PER_DISPATCH, len(users_b))
+                    parts = []
+                    for s, cc, in _chunk_rows(len(users_b), chunk):
+                        sub = users_b[
+                            np.minimum(np.arange(s, s + chunk), len(users_b) - 1)
+                        ]
+                        r_b, m_b = _raw_and_maxsim_subset(
+                            jnp.asarray(self.emb_user[sub]),
+                            self.ei_pad,
+                            jnp.asarray(self.candidates[sub], jnp.int32),
+                            jnp.asarray(starts[sub]),
+                            jnp.asarray(deg[sub].astype(np.int32)),
+                            tr_idx,
+                            n_items=self.n_items,
+                            h_max=h,
+                        )
+                        parts.append((s, cc, r_b, m_b))
+                    for s, cc, r_b, m_b in parts:
+                        raw[users_b[s:s + cc]] = np.asarray(r_b[:cc])
+                        ms[users_b[s:s + cc]] = np.asarray(m_b[:cc])
                 self._raw_ms = (raw, ms)
                 return self._raw_ms
             self._raw_ms = (
