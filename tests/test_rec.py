@@ -534,3 +534,19 @@ def test_degree_bucketed_maxsim_parity():
         dif_ref = 1 - ((ei[rec[u]] @ ei[tr].T).max(1) - mn) / (mx - mn)
         np.testing.assert_allclose(acc[u], acc_ref, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(dif[u], dif_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_chunking_invariance(setup, monkeypatch):
+    """Host-chunking the heavy dispatches must not change any result: candidate
+    draws are per-user keyed and DPP is per-user independent."""
+    import serendipity_tpu.rec.candidates as cand_mod
+
+    tiny, eu, ei, cfg, cand = setup
+    base = create_candidates(tiny, eu, ei, cfg, seed=11)
+    monkeypatch.setattr(cand_mod, "USERS_PER_DISPATCH", 16)
+    chunked = create_candidates(tiny, eu, ei, cfg, seed=11)
+    np.testing.assert_array_equal(base, chunked)
+
+    rec_base = dpp_rerank(cand, ei, 6, user_block=8)
+    rec_chunk = dpp_rerank(cand, ei, 6, user_block=8)  # chunk = 32 users now
+    np.testing.assert_array_equal(rec_base, rec_chunk)
