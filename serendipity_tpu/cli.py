@@ -74,7 +74,12 @@ def cmd_prone(args) -> None:
 
     cfg = _cfg(args.overrides)
     inter = load_dataset(cfg)
-    emb_u, emb_i = prone_embeddings(inter, cfg.prone, seed=cfg.train.seed)
+    mesh = None
+    if cfg.mesh.data_axis * cfg.mesh.model_axis not in (0, 1):
+        from serendipity_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=cfg.mesh.data_axis, n_model=cfg.mesh.model_axis)
+    emb_u, emb_i = prone_embeddings(inter, cfg.prone, seed=cfg.train.seed, mesh=mesh)
     out = os.path.join(cfg.out_dir, cfg.data.name)
     os.makedirs(out, exist_ok=True)
     np.save(os.path.join(out, "emb_user_proNE.npy"), emb_u)

@@ -154,22 +154,29 @@ from functools import partial
 
 @partial(
     jax.jit,
-    static_argnames=("bind", "n_u", "n_i", "dim", "n_iter", "oversample"),
+    static_argnames=("bind", "n_u", "n_i", "dim", "n_iter", "oversample", "shard"),
 )
-def _prefactor_jit(key, consts, *, bind, n_u, n_i, dim, n_iter, oversample):
+def _prefactor_jit(key, consts, *, bind, n_u, n_i, dim, n_iter, oversample,
+                   shard=None):
     """Whole pre-factorization as ONE module-level jit: eager op-by-op subspace
     iteration costs one tunnel RPC per primitive (seconds of relay overhead),
     and a per-call inner jit would recompile every invocation.  Operator consts
     enter as arguments, never closure constants (`ops/spmm_common`)."""
     ui, iu, ui_t, iu_t = bind(consts, n_u, n_i)
 
+    def _c(x):
+        # GSPMD row-sharding of the [N, k] iterates over the mesh (mesh path):
+        # XLA inserts the gather/scatter collectives around the edge-list SpMMs
+        # and keeps the small k x k factorizations replicated
+        return x if shard is None else jax.lax.with_sharding_constraint(x, shard)
+
     # stacked-node operator: x = [x_users; x_items]
     def matvec_f(x):
-        return jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0)
+        return _c(jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0))
 
     def rmatvec_f(y):
         # (F^T y)_u = sum_i F_iu y_i ; (F^T y)_i = sum_u F_ui y_u
-        return jnp.concatenate([iu_t(y[n_u:]), ui_t(y[:n_u])], axis=0)
+        return _c(jnp.concatenate([iu_t(y[n_u:]), ui_t(y[:n_u])], axis=0))
 
     u0, s0 = randomized_svd_operator(
         key, matvec_f, rmatvec_f, n_u + n_i, n_u + n_i, dim,
@@ -180,16 +187,18 @@ def _prefactor_jit(key, consts, *, bind, n_u, n_i, dim, n_iter, oversample):
 
 @partial(
     jax.jit,
-    static_argnames=("bind", "n_u", "n_i", "order", "mu", "s", "dim"),
+    static_argnames=("bind", "n_u", "n_i", "order", "mu", "s", "dim", "shard"),
 )
-def _chebyshev_jit(a, deg1, consts, *, bind, n_u, n_i, order, mu, s, dim):
+def _chebyshev_jit(a, deg1, consts, *, bind, n_u, n_i, order, mu, s, dim,
+                   shard=None):
     if order == 1:
         return a
     bessels = [bessel_iv(i, s) for i in range(max(order, 2))]
     ui, iu, _, _ = bind(consts, n_u, n_i)
 
     def adj_mv(x):
-        return jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0)
+        y = jnp.concatenate([ui(x[n_u:]), iu(x[:n_u])], axis=0)
+        return y if shard is None else jax.lax.with_sharding_constraint(y, shard)
 
     def m_mv(x):
         # M x = (1 - mu) x - DA x,  DA = rownorm(I + A)
@@ -216,28 +225,42 @@ def prone_embeddings(
     seed: int = 0,
     adj: BipartiteAdjacency | None = None,
     head_k: int | None = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Full ProNE pipeline -> (emb_user [U,d], emb_item [I,d]), l2-normalized rows."""
+    """Full ProNE pipeline -> (emb_user [U,d], emb_item [I,d]), l2-normalized rows.
+
+    With `mesh`, the [N, dim+oversample] subspace iterates and Chebyshev states
+    row-shard over all devices (GSPMD; the batched Chebyshev-filtered SpMM of
+    SURVEY §2's TPU-native list) — the small k x k Gram/Cholesky factors stay
+    replicated.  Results equal the single-device path up to float association."""
     if adj is None:
         adj = build_normalized_adjacency(inter)
     n_u, n_i = adj.n_users, adj.n_items
     f_u, f_i = _edge_weights_prefactorization(adj)
 
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+
     consts_f, bind_f = _build_f_operator(inter, adj, f_u, f_i, head_k=head_k)
     features = _prefactor_jit(
         jax.random.PRNGKey(seed), consts_f, bind=bind_f, n_u=n_u, n_i=n_i,
         dim=cfg.dim, n_iter=cfg.svd_iters, oversample=cfg.svd_oversample,
+        shard=shard,
     )
 
     emb = _chebyshev_gaussian(
-        features, inter, adj, cfg.order, cfg.mu, cfg.theta, cfg.dim, head_k=head_k
+        features, inter, adj, cfg.order, cfg.mu, cfg.theta, cfg.dim,
+        head_k=head_k, shard=shard,
     )
     emb = np.asarray(emb)
     return emb[:n_u], emb[n_u:]
 
 
 def _chebyshev_gaussian(a, inter, adj: BipartiteAdjacency, order, mu, s, dim,
-                        head_k=None):
+                        head_k=None, shard=None):
     from serendipity_tpu.ops.spmm_hybrid import build_hybrid, hybrid_consts
 
     n_u, n_i = adj.n_users, adj.n_items
@@ -258,5 +281,5 @@ def _chebyshev_gaussian(a, inter, adj: BipartiteAdjacency, order, mu, s, dim,
     )[:, None]
     return _chebyshev_jit(
         a, deg1, consts, bind=bind, n_u=n_u, n_i=n_i,
-        order=order, mu=mu, s=s, dim=dim,
+        order=order, mu=mu, s=s, dim=dim, shard=shard,
     )

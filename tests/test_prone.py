@@ -148,3 +148,23 @@ def test_prone_hybrid_matches_edge_path(tiny_inter):
         sign = np.sign(np.sum(a * b, axis=0))
         sign[sign == 0] = 1.0
         np.testing.assert_allclose(a, b * sign[None, :], atol=5e-3)
+
+
+def test_prone_mesh_sharded_matches_single():
+    """GSPMD row-sharded ProNE (iterates over the 8-device mesh) must match the
+    single-device path up to float association and per-column SVD sign."""
+    import jax
+
+    from serendipity_tpu.data.synthetic import synthetic_interactions
+    from serendipity_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    inter = synthetic_interactions(96, 120, avg_degree=10, seed=1)
+    cfg = ProNEConfig(dim=8)
+    eu_a, ei_a = prone_embeddings(inter, cfg, seed=2)
+    eu_b, ei_b = prone_embeddings(inter, cfg, seed=2, mesh=make_mesh(4, 2))
+    for a, b in ((eu_a, eu_b), (ei_a, ei_b)):
+        sign = np.sign(np.sum(a * b, axis=0))
+        sign[sign == 0] = 1.0
+        np.testing.assert_allclose(a, b * sign[None, :], atol=5e-3)
