@@ -68,8 +68,15 @@ def run_seed(
             cand = create_candidates(
                 inter, emb_user, emb_item, rcfg, seed=seed, mesh=mesh
             )
+    # one device-resident copy serves every downstream stage (re-uploading the
+    # [U, K_c] matrix per stage costs ~13 s each at ML-25M scale)
+    import jax.numpy as jnp
+
+    cand_dev = jnp.asarray(cand)
     with timer("scorer_init"):
-        scorer = StrategyScorer(inter, emb_user, emb_item, cand, mesh=mesh)
+        scorer = StrategyScorer(
+            inter, emb_user, emb_item, cand, mesh=mesh, candidates_dev=cand_dev
+        )
     with timer("strategy_scores"):
         scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
 
@@ -80,7 +87,7 @@ def run_seed(
             recs[m] = hit.astype(np.int32)
         elif m == "div":
             with timer("dpp"):
-                recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh)
+                recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh, cand_dev=cand_dev)
         else:
             with timer("topk_strategies"):
                 recs[m] = topk_from_scores(scores[m], cand, k)
@@ -91,7 +98,8 @@ def run_seed(
             with timer("fusion"):
                 name, rec = recommend_fused(
                     cand, scores, names, weights, emb_item, k,
-                    rel_factor=cfg.rec.dpp_rel_factor,
+                    rel_factor=cfg.rec.dpp_rel_factor, mesh=mesh,
+                    cand_dev=cand_dev,
                 )
             recs[name] = rec
             fused_names.append(name)

@@ -148,6 +148,8 @@ def dpp_rerank(
     degenerate_diag: bool = False,
     rel_factor: float = 1.0,
     mesh=None,                           # jax Mesh: user_block users PER DEVICE
+    cand_dev=None,                       # optional device-resident candidate
+                                         # matrix (skips per-chunk re-uploads)
 ) -> np.ndarray:
     """Host driver: [U, k] selected item ids, one dispatch + one fetch.  With a
     mesh, the user axis fans out over all devices with the same per-device block
@@ -173,7 +175,10 @@ def dpp_rerank(
     parts = []
     for s, c in _chunk_rows(n_users, chunk):
         rows = np.minimum(np.arange(s, s + chunk), n_users - 1)
-        cand_c = jnp.asarray(cand32[rows])
+        cand_c = (
+            cand_dev[jnp.asarray(rows)] if cand_dev is not None
+            else jnp.asarray(cand32[rows])
+        )
         rel_c = None if rel32 is None else jnp.asarray(rel32[rows])
         if mesh is not None:
             from serendipity_tpu.parallel.study import dpp_positions_sharded

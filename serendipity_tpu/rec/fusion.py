@@ -42,6 +42,8 @@ def recommend_fused(
     emb_item: np.ndarray,
     k: int = 20,
     rel_factor: float = 1.0,
+    mesh=None,
+    cand_dev=None,
 ) -> Tuple[str, np.ndarray]:
     """Returns (combo_name, rec matrix [U, k]).
 
@@ -54,7 +56,7 @@ def recommend_fused(
         div_weight = float(weights[list(factor_names).index("div")])
         rec = dpp_rerank(
             candidates, emb_item, k, rel_scores=fused, div_weight=div_weight,
-            rel_factor=rel_factor,
+            rel_factor=rel_factor, mesh=mesh, cand_dev=cand_dev,
         )
     else:
         rec = topk_from_scores(fused, candidates, k)
