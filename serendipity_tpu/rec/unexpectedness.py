@@ -273,11 +273,17 @@ def sample_unexpectedness_pairs(
     n_users, c = candidates.shape
     cut = max(int(c * top_frac), n_pos)
     order = np.argsort(-unexp, axis=1)
-    pos = np.zeros((n_users, n_pos), np.int32)
-    neg = np.zeros((n_users, n_pos), np.int32)
-    for u in range(n_users):
-        top = candidates[u, order[u, :cut]]
-        bot = candidates[u, order[u, -cut:]]
-        pos[u] = rng.choice(top, n_pos, replace=cut < n_pos)
-        neg[u] = rng.choice(bot, n_pos, replace=cut < n_pos)
-    return pos, neg
+    top = np.take_along_axis(candidates, order[:, :cut], axis=1)
+    bot = np.take_along_axis(candidates, order[:, -cut:], axis=1)
+    # vectorized row sampling (fixed width `cut` for every user): Gumbel top-n
+    # without replacement when the slice is wide enough, uniform draws otherwise
+    if cut >= n_pos:
+        def draw(rows):
+            keys = rng.random((n_users, cut))
+            sel = np.argpartition(keys, n_pos - 1, axis=1)[:, :n_pos]
+            return np.take_along_axis(rows, sel, axis=1).astype(np.int32)
+    else:
+        def draw(rows):
+            sel = rng.integers(0, cut, size=(n_users, n_pos))
+            return np.take_along_axis(rows, sel, axis=1).astype(np.int32)
+    return draw(top), draw(bot)
