@@ -334,23 +334,46 @@ class StrategyScorer:
                 from serendipity_tpu.parallel.study import (
                     csr_start_deg,
                     mesh_devices,
-                    pad_users,
                     raw_and_maxsim_sharded,
+                )
+                from serendipity_tpu.rec.candidates import (
+                    USERS_PER_DISPATCH, _chunk_rows,
                 )
 
                 nd = mesh_devices(self.mesh)
                 tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
-                raw, ms = raw_and_maxsim_sharded(
-                    self.mesh,
-                    jnp.asarray(pad_users(self.emb_user, nd)),
-                    self.ei_pad,
-                    jnp.asarray(pad_users(self.candidates.astype(np.int32), nd)),
-                    jnp.asarray(pad_users(tr_s, nd)),
-                    jnp.asarray(pad_users(tr_d, nd)),
-                    jnp.asarray(self.inter.train_indices, jnp.int32),
-                    n_items=self.n_items,
-                    h_max=h_max,
+                c = self.candidates.shape[1]
+                raw = np.empty((self.n_users, c), np.float32)
+                ms = np.empty((self.n_users, c), np.float32)
+                # host-chunked fan-out (clamp-padded to one nd-divisible shape)
+                chunk = min(
+                    -(-min(USERS_PER_DISPATCH, self.n_users) // nd) * nd,
+                    -(-self.n_users // nd) * nd,
                 )
+                for s, cc in _chunk_rows(self.n_users, chunk):
+                    rows = np.minimum(
+                        np.arange(s, s + chunk), self.n_users - 1
+                    )
+                    cand_c = (
+                        self.candidates_dev[jnp.asarray(rows)]
+                        if self.candidates_dev is not None
+                        else jnp.asarray(self.candidates[rows], jnp.int32)
+                    )
+                    r_b, m_b = raw_and_maxsim_sharded(
+                        self.mesh,
+                        jnp.asarray(self.emb_user[rows]),
+                        self.ei_pad,
+                        cand_c,
+                        jnp.asarray(tr_s[rows]),
+                        jnp.asarray(tr_d[rows]),
+                        jnp.asarray(self.inter.train_indices, jnp.int32),
+                        n_items=self.n_items,
+                        h_max=h_max,
+                    )
+                    raw[s:s + cc] = np.asarray(r_b[:cc])
+                    ms[s:s + cc] = np.asarray(m_b[:cc])
+                self._raw_ms = (raw, ms)
+                return self._raw_ms
             else:
                 # degree-bucketed: normal users at the P95 history width, the
                 # heavy tail at the true max — identical results, up to ~10x
