@@ -62,17 +62,21 @@ def run_seed(
             return np.load(os.path.join(seed_dir, fname))
         return None
 
+    import jax.numpy as jnp
+
+    # one device-resident candidate copy serves every downstream stage
+    # (re-uploading the [U, K_c] matrix per stage costs ~13 s each at ML-25M
+    # scale); fresh generations hand it over without any transfer at all
+    cand_dev = None
     cand = cached("candidate.npy")
     if cand is None or cand.shape != (inter.n_users, rcfg.n_candidates):
         with timer("candidates"):
-            cand = create_candidates(
-                inter, emb_user, emb_item, rcfg, seed=seed, mesh=mesh
+            cand, cand_dev = create_candidates(
+                inter, emb_user, emb_item, rcfg, seed=seed, mesh=mesh,
+                return_device=True,
             )
-    # one device-resident copy serves every downstream stage (re-uploading the
-    # [U, K_c] matrix per stage costs ~13 s each at ML-25M scale)
-    import jax.numpy as jnp
-
-    cand_dev = jnp.asarray(cand)
+    if cand_dev is None:
+        cand_dev = jnp.asarray(cand)
     with timer("scorer_init"):
         scorer = StrategyScorer(
             inter, emb_user, emb_item, cand, mesh=mesh, candidates_dev=cand_dev

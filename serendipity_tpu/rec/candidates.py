@@ -269,18 +269,25 @@ def _candidates_chunk(
     return loop_user_blocks(blk, eu_c.shape[0], block=min(block, eu_c.shape[0]))[0]
 
 
+def _test_tail_indices(inter: Interactions, k_c: int):
+    """(rows, cols, vals) scatter triple that writes each user's test items into
+    the candidate tail slots (`recommend.py:444-451`), vectorized over the CSR."""
+    n_t = np.diff(inter.test_indptr).astype(np.int64)
+    nnz = int(inter.test_indptr[-1])
+    rows = np.repeat(np.arange(inter.n_users), n_t)
+    off = np.arange(nnz) - np.repeat(inter.test_indptr[:-1].astype(np.int64), n_t)
+    cols = k_c - np.repeat(n_t, n_t) + off
+    return rows, cols, np.asarray(inter.test_indices[:nnz])
+
+
 def append_test_tail(out: np.ndarray, inter: Interactions, k_c: int) -> np.ndarray:
     """Overwrite tail slots with each user's test items (`recommend.py:444-451`),
     vectorized over the test CSR (the per-user Python loop cost seconds at 100k+
     users)."""
-    n_t = np.diff(inter.test_indptr).astype(np.int64)
-    nnz = int(inter.test_indptr[-1])
-    if nnz == 0:
+    if int(inter.test_indptr[-1]) == 0:
         return out
-    rows = np.repeat(np.arange(inter.n_users), n_t)
-    off = np.arange(nnz) - np.repeat(inter.test_indptr[:-1].astype(np.int64), n_t)
-    cols = k_c - np.repeat(n_t, n_t) + off
-    out[rows, cols] = inter.test_indices[:nnz]
+    rows, cols, vals = _test_tail_indices(inter, k_c)
+    out[rows, cols] = vals
     return out
 
 
@@ -292,11 +299,15 @@ def create_candidates(
     seed: int = 0,
     user_block: int = 1024,
     mesh=None,
-) -> np.ndarray:
+    return_device: bool = False,
+):
     """Full candidate matrix [n_users, K_c] with test items in the tail slots.
 
     With `mesh`, the user axis fans out over all devices
-    (`parallel/study.candidates_sharded`), matching the other study stages."""
+    (`parallel/study.candidates_sharded`), matching the other study stages.
+    With `return_device`, returns (host matrix, device-resident copy) — the
+    copy is assembled from the per-chunk outputs already on device, so
+    downstream stages skip a [U, K_c] re-upload (~13 s at ML-25M scale)."""
     k_c = cfg.n_candidates
     n_users, n_items = inter.n_users, inter.n_items
     test_deg = np.diff(inter.test_indptr).astype(np.int32)
@@ -339,7 +350,20 @@ def create_candidates(
                 )[:c]
             )
     if isinstance(cand_parts, list):
-        out = np.concatenate([np.asarray(p) for p in cand_parts])[:n_users]
+        dev = (
+            jnp.concatenate(cand_parts, axis=0)[:n_users]
+            if len(cand_parts) > 1 else cand_parts[0][:n_users]
+        )
     else:
-        out = np.asarray(cand_parts)[:n_users].copy()
-    return append_test_tail(np.ascontiguousarray(out), inter, k_c)
+        dev = cand_parts[:n_users]
+    out = append_test_tail(
+        np.ascontiguousarray(np.asarray(dev)).copy(), inter, k_c
+    )
+    if not return_device:
+        return out
+    if int(inter.test_indptr[-1]) > 0:
+        rows, cols, vals = _test_tail_indices(inter, k_c)
+        dev = dev.at[jnp.asarray(rows), jnp.asarray(cols)].set(
+            jnp.asarray(vals.astype(np.int32))
+        )
+    return out, dev

@@ -550,3 +550,9 @@ def test_dispatch_chunking_invariance(setup, monkeypatch):
     rec_base = dpp_rerank(cand, ei, 6, user_block=8)
     rec_chunk = dpp_rerank(cand, ei, 6, user_block=8)  # chunk = 32 users now
     np.testing.assert_array_equal(rec_base, rec_chunk)
+
+
+def test_create_candidates_device_copy_matches_host(setup):
+    tiny, eu, ei, cfg, _ = setup
+    host, dev = create_candidates(tiny, eu, ei, cfg, seed=3, return_device=True)
+    np.testing.assert_array_equal(host, np.asarray(dev))
