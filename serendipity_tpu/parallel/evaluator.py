@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from serendipity_tpu.config import EvalConfig
 from serendipity_tpu.data.datasets import Interactions
 from serendipity_tpu.models.lightgcn import EmbeddingModel, Params
-from serendipity_tpu.ops.metrics import hit_matrix, ranking_metrics_cumulative
+from serendipity_tpu.ops.metrics import hit_matrix, ranking_metrics_cumulative  # noqa: F401
+from serendipity_tpu.train.evaluator import _per_user_metrics
 from serendipity_tpu.ops.spmm_ell_sharded import MESH_AXES
 from serendipity_tpu.ops.topk import topk_exact_2stage
 from serendipity_tpu.train.device import DeviceData
@@ -180,11 +181,10 @@ class ShardedEvaluator(Evaluator):
                 check_vma=False,
             )(ub, all_i, mrows, mitems, item_valid)
 
-            lo = test_indptr[users]
-            hi = test_indptr[users + 1]
-            hits = hit_matrix(top_items, lo, hi, test_indices)
-            truth_len = (hi - lo).astype(jnp.float32)
-            per_user = ranking_metrics_cumulative(hits, truth_len)
+            per_user = _per_user_metrics(
+                top_items, users, test_indptr, test_indices,
+                getattr(self.cfg, "protocol", "foldout"),
+            )
             w = valid.astype(jnp.float32)[:, None]
             sums = {k: jnp.sum(v * w, axis=0) for k, v in per_user.items()}
             return sums, jnp.sum(w)
@@ -213,7 +213,12 @@ class ShardedEvaluator(Evaluator):
                 acc = totals.setdefault(k, np.zeros(self.max_k))
                 acc += np.asarray(v)
         out: Dict[str, float] = {}
-        for metric in self.cfg.metrics:
+        metrics = (
+            ("hr", "ndcg", "mrr")
+            if getattr(self.cfg, "protocol", "foldout") == "loo"
+            else self.cfg.metrics
+        )
+        for metric in metrics:
             for k in self.cfg.topks:
                 out[f"{metric}@{k}"] = float(totals[metric][k - 1] / max(n, 1.0))
         return out

@@ -184,3 +184,35 @@ def test_sharded_fit_trajectory_matches_mesh_layouts(tiny_inter):
             losses.append(float(loss))
         traj[(n_data, n_model)] = losses
     np.testing.assert_allclose(traj[(8, 1)], traj[(2, 4)], rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_evaluator_loo_matches_dense(mesh42, tiny_inter):
+    """eval.protocol=loo through the sharded evaluator equals the dense path."""
+    from serendipity_tpu.parallel.evaluator import ShardedEvaluator
+    from serendipity_tpu.train.device import build_device_data
+    from serendipity_tpu.train.evaluator import Evaluator
+    from serendipity_tpu.train.runner import build_model
+
+    inter = tiny_inter
+    cfg = apply_overrides(
+        ExperimentConfig(),
+        ["model.embed_dim=16", "model.compute_dtype=float32",
+         "eval.user_batch=32", "eval.protocol=loo"],
+    )
+    data_dense = build_device_data(inter)
+    model_dense = build_model(cfg, inter.n_users, inter.n_items)
+    data_sh, model_sh, up, ip = _sharded_pieces(cfg, inter, mesh42)
+    rng = np.random.default_rng(3)
+    eu = rng.standard_normal((inter.n_users, 16)).astype(np.float32)
+    ei = rng.standard_normal((inter.n_items, 16)).astype(np.float32)
+    eu_pad = np.pad(eu, ((0, up - inter.n_users), (0, 0)))
+    ei_pad = np.pad(ei, ((0, ip - inter.n_items), (0, 0)))
+    dense = Evaluator(model_dense, data_dense, inter, cfg.eval).evaluate(
+        None, all_emb=(jnp.asarray(eu), jnp.asarray(ei))
+    )
+    sharded = ShardedEvaluator(
+        model_sh, data_sh, inter, cfg.eval, mesh=mesh42, n_items_padded=ip
+    ).evaluate(None, all_emb=(jnp.asarray(eu_pad), jnp.asarray(ei_pad)))
+    assert set(dense) == set(sharded) and "hr@20" in dense
+    for k, v in dense.items():
+        assert sharded[k] == pytest.approx(v, rel=1e-5), k
