@@ -81,8 +81,17 @@ def run_seed(
         scorer = StrategyScorer(
             inter, emb_user, emb_item, cand, mesh=mesh, candidates_dev=cand_dev
         )
-    with timer("strategy_scores"):
-        scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
+
+    # score matrices are computed lazily: a fully-cached seed (reference
+    # memoize-and-skip, `recommend_combination.py:33-36`) needs none of them
+    scores = None
+
+    def get_scores():
+        nonlocal scores
+        if scores is None:
+            with timer("strategy_scores"):
+                scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
+        return scores
 
     recs: Dict[str, np.ndarray] = {}
     for m in rcfg.strategies:
@@ -94,14 +103,20 @@ def run_seed(
                 recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh, cand_dev=cand_dev)
         else:
             with timer("topk_strategies"):
-                recs[m] = topk_from_scores(scores[m], cand, k)
+                recs[m] = topk_from_scores(get_scores()[m], cand, k)
 
     fused_names: List[str] = []
     if fusion_specs:
         for names, weights in fusion_specs:
+            name = "_".join(f"{w}{n}" for n, w in zip(names, weights))
+            hit = cached(f"rec_{name}.npy")
+            if hit is not None and hit.shape == (inter.n_users, k):
+                recs[name] = hit.astype(np.int32)
+                fused_names.append(name)
+                continue
             with timer("fusion"):
                 name, rec = recommend_fused(
-                    cand, scores, names, weights, emb_item, k,
+                    cand, get_scores(), names, weights, emb_item, k,
                     rel_factor=cfg.rec.dpp_rel_factor, mesh=mesh,
                     cand_dev=cand_dev,
                 )
