@@ -32,8 +32,9 @@ def _worker(pid: int, nproc: int, port: int) -> None:
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )
-    losses = _run_steps(expected_devices=4)
-    print("RESULT " + json.dumps({"pid": pid, "losses": losses}), flush=True)
+    losses, cand_sum = _run_steps(expected_devices=4)
+    print("RESULT " + json.dumps(
+        {"pid": pid, "losses": losses, "cand_sum": cand_sum}), flush=True)
 
 
 def _run_steps(expected_devices: int):
@@ -64,7 +65,26 @@ def _run_steps(expected_devices: int):
     for _ in range(STEPS):
         params, opt_state, key, loss = setup.step_fn(params, opt_state, key)
         losses.append(float(jax.device_get(loss)))
-    return losses
+
+    # sharded STUDY stage across the same mesh: candidate generation with the
+    # cross-process pmin/pmax + per-user-keyed draws.  The full matrix is not
+    # addressable from one controller, so parity pins a replicated checksum
+    # (values < 2^24, so the f32 sum is exact).
+    import jax.numpy as jnp
+
+    from serendipity_tpu.parallel.study import candidates_sharded
+
+    rng = np.random.default_rng(3)
+    eu = rng.standard_normal((inter.n_users, 8)).astype(np.float32)
+    ei = rng.standard_normal((inter.n_items, 8)).astype(np.float32)
+    n_keep = (24 - np.diff(inter.test_indptr)).astype(np.int32)
+    parts = candidates_sharded(
+        mesh, np.asarray(jax.random.PRNGKey(3)), inter, eu, ei, n_keep,
+        k_c=24, num_fold=10, bin_eps=0.1,
+        h_max=int(np.diff(inter.train_indptr).max()), block=16,
+    )
+    csum = sum(float(jax.device_get(jnp.sum(p.astype(jnp.float32)))) for p in parts)
+    return losses, csum
 
 
 def test_two_process_distributed_train_matches_single():
@@ -91,18 +111,20 @@ def test_two_process_distributed_train_matches_single():
         lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert p.returncode == 0 and lines, f"worker failed:\n{out}\n{err[-2000:]}"
         rec = json.loads(lines[-1][len("RESULT "):])
-        results[rec["pid"]] = rec["losses"]
+        results[rec["pid"]] = (rec["losses"], rec["cand_sum"])
 
     assert set(results) == {0, 1}
-    # both controllers observe the same global loss trajectory
-    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
-    # and it decreases
-    assert results[0][-1] < results[0][0]
+    # both controllers observe the same global loss trajectory + candidate draw
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=0, atol=0)
+    assert results[0][1] == results[1][1]
+    # and the loss decreases
+    assert results[0][0][-1] < results[0][0][0]
 
     # single-controller reference on a same-shape mesh (4 of the parent's 8
     # virtual devices): the SPMD program is controller-count invariant
-    ref = _run_steps(expected_devices=8)
-    np.testing.assert_allclose(results[0], ref, rtol=1e-6, atol=1e-7)
+    ref_losses, ref_csum = _run_steps(expected_devices=8)
+    np.testing.assert_allclose(results[0][0], ref_losses, rtol=1e-6, atol=1e-7)
+    assert results[0][1] == ref_csum
 
 
 if __name__ == "__main__":
