@@ -268,22 +268,37 @@ class SerendipityEvaluator:
         denom = max(self.ii_max - self.ii_min, 1e-12)
         if self.mesh is not None:
             from serendipity_tpu.parallel.study import (
-                acc_dif_sharded, csr_start_deg, mesh_devices, pad_users,
+                acc_dif_sharded, csr_start_deg, mesh_devices,
             )
+            from serendipity_tpu.rec.strategies import degree_buckets
 
             nd = mesh_devices(self.mesh)
             te_s, te_d = csr_start_deg(self.inter.test_indptr)
             tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
-            ms_te, ms_tr = acc_dif_sharded(
-                self.mesh,
-                jnp.asarray(pad_users(mat_rec.astype(np.int32), nd)), self.ei_pad,
-                jnp.asarray(pad_users(te_s, nd)), jnp.asarray(pad_users(te_d, nd)),
-                self._te_idx,
-                jnp.asarray(pad_users(tr_s, nd)), jnp.asarray(pad_users(tr_d, nd)),
-                self._tr_idx,
-                n_items=self.n_items, h_te=self._h_te, h_tr=self._h_tr,
-                block=self.user_block,
-            )
+            tr_deg_all = np.diff(self.inter.train_indptr)
+            te_deg_all = np.diff(self.inter.test_indptr)
+            rec32 = mat_rec.astype(np.int32)
+            ms_te = np.empty((u, k), np.float32)
+            ms_tr = np.empty((u, k), np.float32)
+            # degree-bucketed like the single-chip path, nd-padded per bucket
+            for users_b, h_tr_b in degree_buckets(tr_deg_all):
+                h_te_b = ((max(int(te_deg_all[users_b].max(initial=1)), 1)
+                           + 127) // 128) * 128
+                nb = len(users_b)
+                pad = (-nb) % nd
+                sub = users_b[np.minimum(np.arange(nb + pad), nb - 1)]
+                a_b, d_b = acc_dif_sharded(
+                    self.mesh,
+                    jnp.asarray(rec32[sub]), self.ei_pad,
+                    jnp.asarray(te_s[sub]), jnp.asarray(te_d[sub]),
+                    self._te_idx,
+                    jnp.asarray(tr_s[sub]), jnp.asarray(tr_d[sub]),
+                    self._tr_idx,
+                    n_items=self.n_items, h_te=h_te_b, h_tr=h_tr_b,
+                    block=self.user_block,
+                )
+                ms_te[users_b] = np.asarray(a_b[:nb])
+                ms_tr[users_b] = np.asarray(d_b[:nb])
         else:
             # degree-bucketed (see strategies.degree_buckets): whale users get
             # the true max history width, everyone else the P95 width

@@ -342,36 +342,39 @@ class StrategyScorer:
 
                 nd = mesh_devices(self.mesh)
                 tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
+                tr_idx = jnp.asarray(self.inter.train_indices, jnp.int32)
                 c = self.candidates.shape[1]
                 raw = np.empty((self.n_users, c), np.float32)
                 ms = np.empty((self.n_users, c), np.float32)
-                # host-chunked fan-out (clamp-padded to one nd-divisible shape)
-                chunk = min(
-                    -(-min(USERS_PER_DISPATCH, self.n_users) // nd) * nd,
-                    -(-self.n_users // nd) * nd,
-                )
-                for s, cc in _chunk_rows(self.n_users, chunk):
-                    rows = np.minimum(
-                        np.arange(s, s + chunk), self.n_users - 1
+                deg = np.diff(self.inter.train_indptr)
+                # degree-bucketed + host-chunked fan-out (clamp-padded to one
+                # nd-divisible shape per bucket)
+                for users_b, h in degree_buckets(deg):
+                    nb = len(users_b)
+                    chunk = min(
+                        -(-min(USERS_PER_DISPATCH, nb) // nd) * nd,
+                        -(-nb // nd) * nd,
                     )
-                    cand_c = (
-                        self.candidates_dev[jnp.asarray(rows)]
-                        if self.candidates_dev is not None
-                        else jnp.asarray(self.candidates[rows], jnp.int32)
-                    )
-                    r_b, m_b = raw_and_maxsim_sharded(
-                        self.mesh,
-                        jnp.asarray(self.emb_user[rows]),
-                        self.ei_pad,
-                        cand_c,
-                        jnp.asarray(tr_s[rows]),
-                        jnp.asarray(tr_d[rows]),
-                        jnp.asarray(self.inter.train_indices, jnp.int32),
-                        n_items=self.n_items,
-                        h_max=h_max,
-                    )
-                    raw[s:s + cc] = np.asarray(r_b[:cc])
-                    ms[s:s + cc] = np.asarray(m_b[:cc])
+                    for s, cc in _chunk_rows(nb, chunk):
+                        sub = users_b[np.minimum(np.arange(s, s + chunk), nb - 1)]
+                        cand_c = (
+                            self.candidates_dev[jnp.asarray(sub)]
+                            if self.candidates_dev is not None
+                            else jnp.asarray(self.candidates[sub], jnp.int32)
+                        )
+                        r_b, m_b = raw_and_maxsim_sharded(
+                            self.mesh,
+                            jnp.asarray(self.emb_user[sub]),
+                            self.ei_pad,
+                            cand_c,
+                            jnp.asarray(tr_s[sub]),
+                            jnp.asarray(tr_d[sub]),
+                            tr_idx,
+                            n_items=self.n_items,
+                            h_max=h,
+                        )
+                        raw[users_b[s:s + cc]] = np.asarray(r_b[:cc])
+                        ms[users_b[s:s + cc]] = np.asarray(m_b[:cc])
                 self._raw_ms = (raw, ms)
                 return self._raw_ms
             else:
