@@ -102,8 +102,9 @@ def run_seed(
             with timer("dpp"):
                 recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh, cand_dev=cand_dev)
         else:
+            s_m = get_scores()[m]      # outside the timer: scores have their own
             with timer("topk_strategies"):
-                recs[m] = topk_from_scores(get_scores()[m], cand, k)
+                recs[m] = topk_from_scores(s_m, cand, k)
 
     fused_names: List[str] = []
     if fusion_specs:
@@ -114,9 +115,10 @@ def run_seed(
                 recs[name] = hit.astype(np.int32)
                 fused_names.append(name)
                 continue
+            all_s = get_scores()
             with timer("fusion"):
                 name, rec = recommend_fused(
-                    cand, get_scores(), names, weights, emb_item, k,
+                    cand, all_s, names, weights, emb_item, k,
                     rel_factor=cfg.rec.dpp_rel_factor, mesh=mesh,
                     cand_dev=cand_dev,
                 )
