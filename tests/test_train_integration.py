@@ -138,3 +138,14 @@ def test_multi_cutoff_eval(small_cfg, tiny_inter):
         assert f"recall@{k}" in m and f"ndcg@{k}" in m
     # recall is monotone in k
     assert m["recall@5"] <= m["recall@10"] <= m["recall@20"]
+
+
+def test_bitmap_budget_fallback(tiny_inter):
+    """A train bitmap over the budget falls back to the bisection sampler
+    (None bitmap) instead of allocating GBs of HBM."""
+    from serendipity_tpu.train.device import build_device_data
+
+    data = build_device_data(tiny_inter, bitmap_budget_bytes=1)
+    assert data.train_bitmap is None
+    data2 = build_device_data(tiny_inter)
+    assert data2.train_bitmap is not None
