@@ -115,6 +115,13 @@ class EvalConfig:
     # sparsity-level performance report (`LightGCN-tf/LightGCN.py:526-560`, --report)
     report: bool = False
 
+    def __post_init__(self):
+        # a typo ("LOO", "leave-one-out") must not silently run foldout
+        if self.protocol not in ("foldout", "loo"):
+            raise ValueError(
+                f"eval.protocol must be 'foldout' or 'loo', got {self.protocol!r}"
+            )
+
 
 @dataclass
 class MeshConfig:

@@ -25,12 +25,27 @@ def orthonormalize_cholqr2(y: jnp.ndarray) -> jnp.ndarray:
     single CholQR cancels on the second pass).  Replaces `jnp.linalg.qr` in the
     subspace-iteration hot loop: Householder QR on TPU is a serial panel
     factorization, ~10x the wall of two matmul-bound CholQR rounds at
-    [70k, 80]."""
+    [70k, 80].
+
+    Breakdown guard: in f32 the Gram Cholesky loses the trailing subspace once
+    cond(Y) exceeds ~eps^-1/2 (~3e3) — the 1e-7 ridge keeps it finite but
+    silently collapses directions.  Each round therefore estimates cond(G) from
+    the Cholesky diagonal (cond(G) >= (max diag R / min diag R)^2) and, when the
+    estimate crosses 1e6 (cond(Y) ~ 1e3, i.e. approaching breakdown) or the
+    factor is non-finite, falls back to Householder QR for that round via
+    `lax.cond` — the slow path only ever executes on genuinely skewed spectra."""
     def one(y):
         g = y.T @ y
         ridge = 1e-7 * jnp.trace(g) / g.shape[0] + 1e-30
         r = jnp.linalg.cholesky(g + ridge * jnp.eye(g.shape[0], dtype=g.dtype))
-        return jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+        d = jnp.abs(jnp.diagonal(r))
+        ill = (~jnp.all(jnp.isfinite(r))) | (jnp.min(d) < 1e-3 * jnp.max(d))
+        return jax.lax.cond(
+            ill,
+            lambda y, _r: jnp.linalg.qr(y)[0],
+            lambda y, r: jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T,
+            y, r,
+        )
 
     return one(one(y))
 

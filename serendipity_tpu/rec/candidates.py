@@ -210,14 +210,42 @@ def _block_candidates(
     )
     admit = sel | (prio_fill < t_fill[:, None])
 
+    # trim: rint quotas can overshoot n_keep by up to ~num_fold/2 items; cap the
+    # admitted set at exactly n_keep by keeping the n_keep LOWEST-priority
+    # admitted items (an unbiased drop — extraction order below is ascending
+    # item id, so clipping there would systematically drop high item ids).
+    # When n_sel <= n_keep this bisection converges to t_trim -> 1 and keeps
+    # everything, so it is safe to apply unconditionally (incl. under-filled
+    # users whose eligible count < n_keep).
+    prio_adm = jnp.where(admit, prio, 2.0)
+
+    def bs_trim(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(prio_adm < mid[:, None], axis=1).astype(jnp.float32)
+        ge = cnt >= n_keep.astype(jnp.float32)
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    _, t_trim = jax.lax.fori_loop(
+        0, BISECT_ITERS, bs_trim, (jnp.zeros((b,)), jnp.full((b,), 1.0 + 1e-6))
+    )
+    admit &= prio_adm < t_trim[:, None]
+
     # extract admitted item ids into [B, k_c]: j-th admitted item = first index
     # where cumsum(admit) == j+1 (batched binary search; no sort, no scatter)
     cs = jnp.cumsum(admit.astype(jnp.int32), axis=1)
     targets = jnp.arange(1, k_c + 1, dtype=jnp.int32)
     idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cs)
-    # columns past the admitted count (>= n_keep) return N -> clamp; every such
-    # column is overwritten by the user's test items
-    return jnp.clip(idx, 0, n_items - 1).astype(jnp.int32)
+    # columns past the admitted count return N.  For users with >= n_keep
+    # eligible items those are only columns >= n_keep, all overwritten by the
+    # test tail; for under-filled users (eligible < n_keep) columns
+    # [admitted, n_keep) also miss — repeat the user's FIRST sampled candidate
+    # there (an eligible non-train item already in the list) rather than a
+    # clamped arbitrary id that could be a train item.  A user with zero
+    # eligible items degrades to the n_items-1 clamp as a last resort.
+    first = jnp.minimum(idx[:, :1], n_items - 1)
+    idx = jnp.where(idx < n_items, idx, first)
+    return idx.astype(jnp.int32)
 
 
 @partial(

@@ -422,10 +422,6 @@ class StrategyScorer:
                         ms[users_b[s:s + cc]] = np.asarray(m_b[:cc])
                 self._raw_ms = (raw, ms)
                 return self._raw_ms
-            self._raw_ms = (
-                np.asarray(raw[: self.n_users]),
-                np.asarray(ms[: self.n_users]),
-            )
         return self._raw_ms
 
     # ---- public scorers -----------------------------------------------------

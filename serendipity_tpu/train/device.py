@@ -144,9 +144,12 @@ def _train_bitmap(inter: Interactions, budget_bytes: int | None = None):
     if budget_bytes is not None and inter.n_users * (n_pad // 8) > budget_bytes:
         import logging
 
-        logging.getLogger(__name__).info(
+        # WARNING, not INFO: an explicit sampler="bitmap" request silently
+        # changing training behavior must be visible at the default log level
+        logging.getLogger(__name__).warning(
             "train bitmap would be %.1f GB (> %.1f GB budget); "
-            "falling back to bisection sampler",
+            "falling back to the bisection sampler (pass a larger "
+            "bitmap_budget_bytes to keep the bitmap)",
             inter.n_users * (n_pad // 8) / 2**30, budget_bytes / 2**30,
         )
         return None

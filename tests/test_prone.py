@@ -79,6 +79,24 @@ def test_randomized_svd_operator():
     assert np.abs(p_got - p_ref).max() < 1e-2
 
 
+def test_cholqr2_ill_conditioned_fallback():
+    """CholeskyQR2 must stay orthonormal on blocks past the f32 breakdown point
+    (cond(Y) >~ 3e3) via the per-round Householder fallback (ADVICE r4 medium)."""
+    from serendipity_tpu.ops.svd import orthonormalize_cholqr2
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((400, 24)).astype(np.float32)
+    # nearly collinear columns: cond(Y) ~ 1e5 (Gram cond ~ 1e10, far past f32)
+    y = base.copy()
+    y[:, 1:] = y[:, :1] + 1e-5 * y[:, 1:]
+    q = np.asarray(orthonormalize_cholqr2(jnp.asarray(y)))
+    g = q.T @ q
+    assert np.abs(g - np.eye(24)).max() < 1e-3
+    # and the well-conditioned path is untouched
+    q2 = np.asarray(orthonormalize_cholqr2(jnp.asarray(base)))
+    assert np.abs(q2.T @ q2 - np.eye(24)).max() < 1e-5
+
+
 def test_svd_tall():
     rng = np.random.default_rng(1)
     m = rng.standard_normal((200, 16)).astype(np.float32)

@@ -50,6 +50,37 @@ def test_candidates_contract(setup):
         assert len(set(sampled.tolist())) == k_c - n_t
 
 
+def test_candidates_underfilled_user_repeats_first_candidate():
+    """A user with fewer eligible items than n_keep gets the shortfall filled by
+    repeating their FIRST sampled candidate, never the clamped id n_items-1
+    (which could be a train item) — ADVICE r4 low, `rec/candidates.py`."""
+    from serendipity_tpu.data import interactions_from_arrays
+
+    # 8 items; user 0 trains on items 0..5 -> only 2 eligible, n_keep up to 6
+    train = {0: [0, 1, 2, 3, 4, 5], 1: [0], 2: [1], 3: [2]}
+    test = {0: [6], 1: [3], 2: [4], 3: [5]}
+    tr_u = np.concatenate([[u] * len(v) for u, v in train.items()])
+    tr_i = np.concatenate([v for v in train.values()])
+    te_u = np.array(list(test.keys()))
+    te_i = np.array([v[0] for v in test.values()])
+    inter = interactions_from_arrays(
+        tr_u, tr_i, te_u, te_i, n_users=4, n_items=8
+    )
+    rng = np.random.default_rng(0)
+    eu = rng.standard_normal((4, 8)).astype(np.float32)
+    ei = rng.standard_normal((8, 8)).astype(np.float32)
+    cfg = RecConfig(n_candidates=7, top_k=2)
+    cand = create_candidates(inter, eu, ei, cfg, seed=1, user_block=4)
+    # user 0: n_keep = 6 but only items {6, 7} eligible (6 is also the test item)
+    samp = cand[0, :6]
+    train = {0, 1, 2, 3, 4, 5}
+    assert not (set(samp.tolist()) & train), samp
+    # shortfall columns repeat the first sampled candidate
+    uniq = set(samp.tolist())
+    assert uniq <= {6, 7}
+    assert (samp == samp[0]).sum() >= 4  # 2 eligible + 4 repeats
+
+
 def test_candidates_stratification_proportional(setup):
     """Bin shares among sampled candidates approximate the eligible-bin shares."""
     tiny, eu, ei, cfg, cand = setup

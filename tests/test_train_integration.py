@@ -124,6 +124,16 @@ def test_runner_checkpoint_resume(small_cfg, tiny_inter, tmp_path):
     assert out2["state"].best_metric >= out1["state"].best_metric - 1e-9
 
 
+def test_eval_protocol_validated(small_cfg):
+    """A typo'd eval.protocol must raise, not silently run foldout (ADVICE r4)."""
+    from serendipity_tpu.config import apply_overrides
+
+    with pytest.raises(ValueError, match="protocol"):
+        apply_overrides(small_cfg, ["eval.protocol=LOO"])
+    cfg = apply_overrides(small_cfg, ["eval.protocol=loo"])
+    assert cfg.eval.protocol == "loo"
+
+
 def test_multi_cutoff_eval(small_cfg, tiny_inter):
     """Cumulative metric vectors serve several cutoffs from one pass."""
     from serendipity_tpu.config import apply_overrides
