@@ -5,6 +5,8 @@
     python -m serendipity_tpu.cli pipeline data.path=... [--embeddings DIR]
     python -m serendipity_tpu.cli preprocess --input raw.csv --output DIR ...
     python -m serendipity_tpu.cli eval data.path=... --embeddings DIR
+    python -m serendipity_tpu.cli seren data.path=... [--embeddings DIR]
+                                        [--unexpectedness]
 
 One config tree + dotted overrides everywhere (replaces the reference's three
 argparse parsers and hand-edited driver lists, SURVEY.md §5 config).
@@ -186,6 +188,117 @@ def cmd_eval(args) -> None:
             print("  " + "  ".join(f"{k}={v:.5f}" for k, v in m.items()))
 
 
+def cmd_seren(args) -> None:
+    """SerenEnhance transformer re-ranker, end to end (the reference's
+    documented two-step run, `SerenEnhance/README.md:20-30`: generate
+    unexpected-recommendation training data, then train the model):
+    assemble history/candidate tensors from the dataset + an item-embedding
+    table, optionally generate unexpectedness training pairs (P15), train the
+    3-tower transformer, and report HR/NDCG on the 1-truth + negatives
+    protocol (`SerenEnhance.py:303-320`)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from serendipity_tpu.models.seren_transformer import (
+        SerenTrainer, SerenTransformer,
+    )
+    from serendipity_tpu.rec.seren_data import (
+        build_seren_test_batch, build_seren_training_batches,
+    )
+    from serendipity_tpu.train.runner import load_dataset
+
+    cfg = _cfg(args.overrides)
+    inter = load_dataset(cfg)
+    seed = cfg.train.seed
+    if args.embeddings:
+        emb_u, emb_i = _load_embedding_pair(args.embeddings)
+    else:
+        # the reference consumes pre-encoded item embeddings; without a trained
+        # table, ProNE gives a structure-aware one in seconds
+        from serendipity_tpu.models.prone import prone_embeddings
+
+        emb_u, emb_i = prone_embeddings(inter, cfg.prone, seed=seed)
+    emb_u = np.asarray(emb_u, np.float32)
+    emb_i = np.asarray(emb_i, np.float32)
+    dim = emb_i.shape[1]
+    n_reviews, n_pos, n_cand = args.n_reviews, args.n_pos, args.n_cand
+
+    unexp_pairs = None
+    if args.unexpectedness:
+        from serendipity_tpu.rec.candidates import create_candidates
+        from serendipity_tpu.rec.unexpectedness import (
+            cooccurrence_dense, cooccurrence_topk,
+            sample_unexpectedness_pairs, unexpectedness_scores,
+        )
+
+        cand = create_candidates(inter, emb_u, emb_i, cfg.rec, seed=seed)
+        # dense I x I co-occurrence up to ~2 GB, truncated top-T lists beyond
+        cooc = (
+            cooccurrence_dense(inter)
+            if inter.n_items * inter.n_items * 4 <= 2 << 30
+            else cooccurrence_topk(inter)
+        )
+        unexp = unexpectedness_scores(inter, cand, cooc)
+        unexp_pairs = sample_unexpectedness_pairs(cand, unexp, n_pos=n_pos, seed=seed)
+        print(f"unexpectedness pairs: {unexp_pairs[0].shape} from "
+              f"{cand.shape[1]} candidates/user")
+
+    batch = build_seren_training_batches(
+        inter, emb_i, n_reviews=n_reviews, n_pos=n_pos,
+        unexp_pairs=unexp_pairs, seed=seed,
+    )
+    test_b = build_seren_test_batch(
+        inter, emb_i, n_reviews=n_reviews, n_cand=n_cand, seed=seed + 1
+    )
+
+    trainer = SerenTrainer(
+        model=SerenTransformer(embed_dim=dim, n_reviews=n_reviews),
+        lr=args.lr, n_pos=n_pos,
+    )
+    params, opt_state = trainer.init(
+        jax.random.PRNGKey(seed), n_reviews, n_cand, dim
+    )
+    step = trainer.make_train_step()
+    key = jax.random.PRNGKey(seed + 1)
+    bs = min(args.batch_size, inter.n_users)
+    for i in range(args.steps):
+        s = (i * bs) % max(inter.n_users - bs, 1)
+        jb = {k: jnp.asarray(v[s:s + bs]) for k, v in batch.items()}
+        params, opt_state, key, loss = step(params, opt_state, jb, key)
+        if i % max(args.steps // 5, 1) == 0 or i == args.steps - 1:
+            print(f"step {i}: loss={float(loss):.4f}")
+
+    # eval in clamp-padded chunks (one compiled shape)
+    ev = trainer.make_eval_step()
+    n_ev = len(test_b["users"])
+    chunk = min(512, n_ev)
+    scores = np.empty((n_ev, n_cand), np.float32)
+    for s in range(0, n_ev, chunk):
+        rows = np.minimum(np.arange(s, s + chunk), n_ev - 1)
+        scores[s:s + chunk] = np.asarray(
+            ev(params, jnp.asarray(test_b["history"][rows]),
+               jnp.asarray(test_b["y_cand"][rows]))
+        )[: n_ev - s]
+    metrics = SerenTrainer.ranking_metrics(scores)
+    for k, v in metrics.items():
+        print(f"{k} = {v:.5f}")
+
+    out = os.path.join(cfg.out_dir, cfg.data.name)
+    os.makedirs(out, exist_ok=True)
+    import flax.serialization
+
+    with open(os.path.join(out, "seren_params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+    with open(os.path.join(out, "seren_metrics.json"), "w") as f:
+        json.dump(
+            {"metrics": metrics, "steps": args.steps, "n_eval_users": n_ev,
+             "unexpectedness": bool(args.unexpectedness)}, f, indent=1,
+        )
+    print(f"saved SerenEnhance params + metrics under {out}")
+
+
 def _enable_compilation_cache() -> None:
     """Opt-in persistent XLA compilation cache (SERENDIPITY_TPU_CACHE=<dir>).
 
@@ -244,6 +357,24 @@ def main(argv=None) -> None:
     sp.add_argument("--embeddings", required=True)
     sp.add_argument("overrides", nargs="*")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "seren", help="train + evaluate the SerenEnhance transformer re-ranker"
+    )
+    sp.add_argument("--embeddings", help="dir with emb_user/item.npy (else ProNE)")
+    sp.add_argument(
+        "--unexpectedness", action="store_true",
+        help="generate unexpectedness training pairs from co-occurrence "
+             "(the reference's unexpected-recommendation data step)",
+    )
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--batch-size", type=int, default=512, dest="batch_size")
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--n-reviews", type=int, default=20, dest="n_reviews")
+    sp.add_argument("--n-pos", type=int, default=50, dest="n_pos")
+    sp.add_argument("--n-cand", type=int, default=100, dest="n_cand")
+    sp.add_argument("overrides", nargs="*")
+    sp.set_defaults(fn=cmd_seren)
 
     # argparse can't interleave `key=value` positionals with optionals; collect
     # any leftover overrides from parse_known_args instead of erroring

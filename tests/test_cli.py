@@ -89,6 +89,28 @@ def test_cli_preprocess_train_pipeline(raw_csv, tmp_path, monkeypatch):
     assert "0.5acc_0.5nov" in summary["methods"]
 
 
+def test_cli_seren_smoke(raw_csv, tmp_path, monkeypatch):
+    """`cli seren` end to end on the tiny fixture: assemble -> (unexpectedness
+    pairs) -> train a few steps -> HR/NDCG report + saved artifacts (the
+    reference's documented two-step run, SerenEnhance/README.md)."""
+    out_ds = str(tmp_path / "ds")
+    cli.main([
+        "preprocess", "--input", raw_csv, "--output", out_ds, "data.k_core=3",
+    ])
+    monkeypatch.chdir(tmp_path)
+    cli.main([
+        "seren", f"data.path={out_ds}", "data.name=tiny",
+        "--unexpectedness", "--steps", "3", "--batch-size", "32",
+        "--n-reviews", "5", "--n-pos", "4", "--n-cand", "20",
+        "prone.dim=8", "rec.n_candidates=20", "rec.top_k=5",
+    ])
+    out = tmp_path / "runs" / "tiny"
+    assert (out / "seren_params.msgpack").exists()
+    m = json.loads((out / "seren_metrics.json").read_text())
+    assert m["unexpectedness"] is True and m["steps"] == 3
+    assert 0.0 <= m["metrics"]["hr@10"] <= 1.0
+
+
 def test_fuse_sweep_parsing():
     """--fuse / --fuse-sweep expansion (the reference 9-point weight grid)."""
     from serendipity_tpu.cli import expand_fusion_specs

@@ -1,14 +1,22 @@
 """Pallas fused score+top-k kernel, interpret mode (compiled-mode parity is
-exercised on real TPU by bench/driver runs)."""
+exercised on real TPU by bench/driver runs).
 
+Covers the LIVE variants only (twopass4 default, its block-size form, and the
+small-catalog insert path); the retired design-space variants are archived
+without test coverage in `ops/pallas_score_museum.py`.
+"""
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from serendipity_tpu.ops.pallas_score import fused_score_topk
 
+LIVE_VARIANTS = ["insert", "twopass4", "twopass4b256"]
 
-@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "twopass3", "twopass3c2", "twopass4", "blockwise", "parblock", "subtile"])
+
+@pytest.mark.parametrize("variant", LIVE_VARIANTS)
 @pytest.mark.parametrize("u,n,k", [(256, 1024, 20), (512, 2048, 10)])
 def test_fused_score_topk_exact(u, n, k, variant):
     rng = np.random.default_rng(0)
@@ -26,7 +34,7 @@ def test_fused_score_topk_exact(u, n, k, variant):
     assert (np.diff(np.asarray(v), axis=1) <= 1e-6).all()
 
 
-@pytest.mark.parametrize("variant", ["extract", "insert", "twopass", "twopass3", "twopass3c2", "twopass4", "blockwise", "parblock", "subtile"])
+@pytest.mark.parametrize("variant", LIVE_VARIANTS)
 def test_fused_score_topk_ties(variant):
     """Position-indexed masking must return distinct indices even with ties."""
     u, n, k = 256, 512, 8
@@ -40,17 +48,20 @@ def test_fused_score_topk_ties(variant):
         assert len(set(i[r].tolist())) == k
 
 
-def test_variants_identical():
-    """All variants must match the extract baseline bit-for-bit, index order
-    (tie semantics) included — pins the twopass cursor extraction's tie order
-    against the reference variants, not just value tolerance."""
+def test_live_variants_match_lax_topk_bitwise():
+    """Live variants must match `lax.top_k` bit-for-bit, index order (tie
+    semantics) included — the kernels' position-indexed masking is designed to
+    reproduce `lax.top_k` exactly, and downstream eval memoization relies on
+    variant-independent outputs."""
     rng = np.random.default_rng(3)
     eu = rng.standard_normal((256, 64)).astype(np.float32)
     ei = rng.standard_normal((4096, 64)).astype(np.float32)
-    v1, i1 = fused_score_topk(
-        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
+    s = jax.lax.dot_general(
+        jnp.asarray(eu), jnp.asarray(ei), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    for variant in ("insert", "twopass", "twopass3", "twopass3c2", "twopass4", "twopass4b256", "unroll2", "blockwise", "parblock", "subtile"):
+    v1, i1 = jax.lax.top_k(s, 20)
+    for variant in LIVE_VARIANTS:
         v2, i2 = fused_score_topk(
             jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant=variant
         )
@@ -58,23 +69,18 @@ def test_variants_identical():
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), err_msg=variant)
 
 
-def test_collect_variant_semantics():
-    """The id-collect variant (negative result on this chip: its XLA gather
-    postlude is slower than in-kernel value extraction, kept as a documented
-    design point): indices must match `lax.top_k` bit-for-bit; values are
-    recomputed by a batched d-contraction whose accumulation ORDER may differ
-    from the full GEMM's at the LSB on CPU, so they get allclose, not equality."""
+def test_museum_dispatch_still_routes():
+    """Museum variant names keep working through the lazy dispatch (probe
+    scripts use them); one cheap shape, one variant — the archive itself is
+    deliberately untested."""
     rng = np.random.default_rng(5)
     eu = rng.standard_normal((256, 64)).astype(np.float32)
-    ei = rng.standard_normal((4096, 64)).astype(np.float32)
+    ei = rng.standard_normal((2048, 64)).astype(np.float32)
     v1, i1 = fused_score_topk(
-        jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant="extract"
+        jnp.asarray(eu), jnp.asarray(ei), k=10, interpret=True, variant="twopass4"
     )
-    for variant in ("collect", "collect2"):
-        v2, i2 = fused_score_topk(
-            jnp.asarray(eu), jnp.asarray(ei), k=20, interpret=True, variant=variant
-        )
-        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2), err_msg=variant)
-        np.testing.assert_allclose(
-            np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5, err_msg=variant
-        )
+    v2, i2 = fused_score_topk(
+        jnp.asarray(eu), jnp.asarray(ei), k=10, interpret=True, variant="extract"
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
