@@ -20,9 +20,9 @@ from serendipity_tpu.config import ExperimentConfig
 from serendipity_tpu.data.datasets import Interactions
 from serendipity_tpu.rec.candidates import create_candidates
 from serendipity_tpu.rec.dpp import dpp_rerank
-from serendipity_tpu.rec.fusion import recommend_fused
+from serendipity_tpu.rec.fusion import recommend_fused_dev
 from serendipity_tpu.rec.serendipity import SerendipityEvaluator
-from serendipity_tpu.rec.strategies import StrategyScorer, topk_from_scores
+from serendipity_tpu.rec.strategies import StrategyScorer
 from serendipity_tpu.utils.timing import timer
 
 
@@ -82,17 +82,10 @@ def run_seed(
             inter, emb_user, emb_item, cand, mesh=mesh, candidates_dev=cand_dev
         )
 
-    # score matrices are computed lazily: a fully-cached seed (reference
-    # memoize-and-skip, `recommend_combination.py:33-36`) needs none of them
-    scores = None
-
-    def get_scores():
-        nonlocal scores
-        if scores is None:
-            with timer("strategy_scores"):
-                scores = scorer.all_scores(seed=seed, alpha=rcfg.elasticity_alpha)
-        return scores
-
+    # score matrices live and die on DEVICE (round 5): computed lazily from the
+    # HBM-resident raw/max-sim pair (a fully-cached seed — reference
+    # memoize-and-skip, `recommend_combination.py:33-36` — never touches them),
+    # selected on device, and only [U, k] id matrices cross the host link.
     recs: Dict[str, np.ndarray] = {}
     for m in rcfg.strategies:
         hit = cached(f"rec_{m}.npy")
@@ -102,9 +95,10 @@ def run_seed(
             with timer("dpp"):
                 recs[m] = dpp_rerank(cand, emb_item, k, mesh=mesh, cand_dev=cand_dev)
         else:
-            s_m = get_scores()[m]      # outside the timer: scores have their own
+            with timer("strategy_scores"):
+                s_m = scorer.score_dev(m, seed=seed, alpha=rcfg.elasticity_alpha)
             with timer("topk_strategies"):
-                recs[m] = topk_from_scores(s_m, cand, k)
+                recs[m] = scorer.topk_ids(s_m, k)
 
     fused_names: List[str] = []
     if fusion_specs:
@@ -115,12 +109,11 @@ def run_seed(
                 recs[name] = hit.astype(np.int32)
                 fused_names.append(name)
                 continue
-            all_s = get_scores()
             with timer("fusion"):
-                name, rec = recommend_fused(
-                    cand, all_s, names, weights, emb_item, k,
+                name, rec = recommend_fused_dev(
+                    cand, scorer, names, weights, emb_item, k,
                     rel_factor=cfg.rec.dpp_rel_factor, mesh=mesh,
-                    cand_dev=cand_dev,
+                    cand_dev=cand_dev, seed=seed, alpha=rcfg.elasticity_alpha,
                 )
             recs[name] = rec
             fused_names.append(name)

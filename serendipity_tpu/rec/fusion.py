@@ -34,6 +34,45 @@ def fuse_scores(
     return total
 
 
+def recommend_fused_dev(
+    candidates: np.ndarray,
+    scorer,                              # StrategyScorer (device-resident path)
+    factor_names: Sequence[str],
+    weights: Sequence[float],
+    emb_item: np.ndarray,
+    k: int = 20,
+    rel_factor: float = 1.0,
+    mesh=None,
+    cand_dev=None,
+    seed: int = 0,
+    alpha: float = 1.0,
+) -> Tuple[str, np.ndarray]:
+    """`recommend_fused` with the weighted sum accumulated ON DEVICE from
+    `scorer.score_dev` matrices (round 5): no [U, C] score matrix ever reaches
+    the host — plain fusions select top-k on device, and the
+    relevance-conditioned DPP consumes the fused matrix straight from HBM."""
+    import jax.numpy as jnp
+
+    name = "_".join(f"{w}{n}" for n, w in zip(factor_names, weights))
+    fused = None
+    for n, w in zip(factor_names, weights):
+        if n == "div":
+            continue
+        s = scorer.score_dev(n, seed=seed, alpha=alpha) * jnp.float32(w)
+        fused = s if fused is None else fused + s
+    if fused is None:
+        raise ValueError("fusion needs at least one score-form factor")
+    if "div" in factor_names:
+        div_weight = float(weights[list(factor_names).index("div")])
+        rec = dpp_rerank(
+            candidates, emb_item, k, rel_scores=fused, div_weight=div_weight,
+            rel_factor=rel_factor, mesh=mesh, cand_dev=cand_dev,
+        )
+    else:
+        rec = scorer.topk_ids(fused, k)
+    return name, rec
+
+
 def recommend_fused(
     candidates: np.ndarray,
     scores: Dict[str, np.ndarray],

@@ -317,16 +317,33 @@ class StrategyScorer:
         dmin, dmax = deg.min(), deg.max()
         self.elasticity = (deg - dmin) / max(dmax - dmin, 1e-12)
         self._raw_ms: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._rm_dev: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
     # ---- fused device pass ---------------------------------------------------
 
+    def _cand_dev(self) -> jnp.ndarray:
+        if self.candidates_dev is None:
+            self.candidates_dev = jnp.asarray(self.candidates, jnp.int32)
+        return self.candidates_dev
+
     def _raw_and_maxsim(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw dots + train max-sim for all users in one device dispatch, cached.
+        """Host copies of the raw dots + train max-sim (legacy score-form API;
+        at ML-25M scale each is a ~650 MB download through a ~20 MB/s tunnel —
+        the study pipeline stays on `_raw_and_maxsim_dev` and never pays it)."""
+        if self._raw_ms is None:
+            r, m = self._raw_and_maxsim_dev()
+            self._raw_ms = (np.asarray(r), np.asarray(m))
+        return self._raw_ms
+
+    def _raw_and_maxsim_dev(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """DEVICE-RESIDENT raw dots + train max-sim [U, C] pair, cached.
 
         With a mesh, the user axis fans out over all devices
         (`parallel/study.raw_and_maxsim_sharded`) — the TPU analog of the
-        reference's per-user process pools."""
-        if self._raw_ms is None:
+        reference's per-user process pools.  Chunk results are scattered into
+        HBM-resident buffers (round 5): the [U, C] matrices never cross the
+        tunnel, downstream scoring/top-k consumes them in place."""
+        if self._rm_dev is None:
             h_max = _round_up(
                 max(1, int(np.diff(self.inter.train_indptr).max())), 128
             )
@@ -344,8 +361,8 @@ class StrategyScorer:
                 tr_s, tr_d = csr_start_deg(self.inter.train_indptr)
                 tr_idx = jnp.asarray(self.inter.train_indices, jnp.int32)
                 c = self.candidates.shape[1]
-                raw = np.empty((self.n_users, c), np.float32)
-                ms = np.empty((self.n_users, c), np.float32)
+                raw = jnp.zeros((self.n_users, c), jnp.float32)
+                ms = jnp.zeros((self.n_users, c), jnp.float32)
                 deg = np.diff(self.inter.train_indptr)
                 # degree-bucketed + host-chunked fan-out (clamp-padded to one
                 # nd-divisible shape per bucket)
@@ -357,26 +374,20 @@ class StrategyScorer:
                     )
                     for s, cc in _chunk_rows(nb, chunk):
                         sub = users_b[np.minimum(np.arange(s, s + chunk), nb - 1)]
-                        cand_c = (
-                            self.candidates_dev[jnp.asarray(sub)]
-                            if self.candidates_dev is not None
-                            else jnp.asarray(self.candidates[sub], jnp.int32)
-                        )
                         r_b, m_b = raw_and_maxsim_sharded(
                             self.mesh,
                             jnp.asarray(self.emb_user[sub]),
                             self.ei_pad,
-                            cand_c,
+                            self._cand_dev()[jnp.asarray(sub)],
                             jnp.asarray(tr_s[sub]),
                             jnp.asarray(tr_d[sub]),
                             tr_idx,
                             n_items=self.n_items,
                             h_max=h,
                         )
-                        raw[users_b[s:s + cc]] = np.asarray(r_b[:cc])
-                        ms[users_b[s:s + cc]] = np.asarray(m_b[:cc])
-                self._raw_ms = (raw, ms)
-                return self._raw_ms
+                        rows = jnp.asarray(users_b[s:s + cc])
+                        raw = raw.at[rows].set(r_b[:cc])
+                        ms = ms.at[rows].set(m_b[:cc])
             else:
                 # degree-bucketed: normal users at the P95 history width, the
                 # heavy tail at the true max — identical results, up to ~10x
@@ -389,40 +400,32 @@ class StrategyScorer:
                 tr_idx = jnp.asarray(self.inter.train_indices, jnp.int32)
                 starts = self.inter.train_indptr[:-1].astype(np.int32)
                 c = self.candidates.shape[1]
-                raw = np.empty((self.n_users, c), np.float32)
-                ms = np.empty((self.n_users, c), np.float32)
+                raw = jnp.zeros((self.n_users, c), jnp.float32)
+                ms = jnp.zeros((self.n_users, c), jnp.float32)
                 for users_b, h in degree_buckets(deg):
                     # host-chunked dispatches (clamp-padded to one shape per
                     # bucket): multi-minute single executions crash tunneled
                     # workers, and chunks pipeline asynchronously anyway
                     chunk = min(USERS_PER_DISPATCH, len(users_b))
-                    parts = []
                     for s, cc, in _chunk_rows(len(users_b), chunk):
                         sub = users_b[
                             np.minimum(np.arange(s, s + chunk), len(users_b) - 1)
                         ]
-                        cand_c = (
-                            self.candidates_dev[jnp.asarray(sub)]
-                            if self.candidates_dev is not None
-                            else jnp.asarray(self.candidates[sub], jnp.int32)
-                        )
                         r_b, m_b = _raw_and_maxsim_subset(
                             jnp.asarray(self.emb_user[sub]),
                             self.ei_pad,
-                            cand_c,
+                            self._cand_dev()[jnp.asarray(sub)],
                             jnp.asarray(starts[sub]),
                             jnp.asarray(deg[sub].astype(np.int32)),
                             tr_idx,
                             n_items=self.n_items,
                             h_max=h,
                         )
-                        parts.append((s, cc, r_b, m_b))
-                    for s, cc, r_b, m_b in parts:
-                        raw[users_b[s:s + cc]] = np.asarray(r_b[:cc])
-                        ms[users_b[s:s + cc]] = np.asarray(m_b[:cc])
-                self._raw_ms = (raw, ms)
-                return self._raw_ms
-        return self._raw_ms
+                        rows = jnp.asarray(users_b[s:s + cc])
+                        raw = raw.at[rows].set(r_b[:cc])
+                        ms = ms.at[rows].set(m_b[:cc])
+            self._rm_dev = (raw, ms)
+        return self._rm_dev
 
     # ---- public scorers -----------------------------------------------------
 
@@ -487,23 +490,121 @@ class StrategyScorer:
             "dif": self.dif(),
         }
 
+    # ---- device-resident study path (round 5) --------------------------------
+
+    def score_dev(self, name: str, seed: int = 0, alpha: float = 1.0) -> jnp.ndarray:
+        """DEVICE [U, C] score matrix for one strategy.
+
+        Same formulas as the host scorers above, computed from the HBM-resident
+        raw/max-sim pair + [N]-sized feature vectors, so nothing [U, C]-shaped
+        crosses the host link.  Not cached: each matrix is a few ms of
+        elementwise work, and caching 7 of them is GBs of HBM at ML-25M scale.
+        Deviation: `rand` draws from the jax PRNG (keyed on `seed`) instead of
+        numpy's — same uniform distribution, different stream."""
+        cand = self._cand_dev()
+        if name == "rand":
+            return _rand_scores_dev(jax.random.PRNGKey(seed), cand.shape)
+        if name == "nov":
+            return _feature_scores_dev(
+                jnp.asarray(self.dates), cand, jnp.float32(1.0)
+            )
+        if name == "pop":
+            return _feature_scores_dev(
+                jnp.asarray(self.counts), cand, jnp.float32(-1.0)
+            )
+        if name == "qua":
+            return _feature_scores_dev(
+                jnp.asarray(self.mean_ratings), cand, jnp.float32(1.0)
+            )
+        raw, ms = self._raw_and_maxsim_dev()
+        if name == "acc":
+            return _acc_scores_dev(raw)
+        if name == "ela":
+            return _ela_scores_dev(
+                raw, jnp.asarray(self.elasticity),
+                jnp.float32(self.ui_min), jnp.float32(self.ui_max),
+                jnp.float32(alpha),
+            )
+        if name == "dif":
+            return _dif_scores_dev(ms, jnp.float32(self.ii_min),
+                                   jnp.float32(self.ii_max))
+        raise ValueError(f"unknown score-form strategy {name!r}")
+
+    def topk_ids(self, scores_dev: jnp.ndarray, k: int) -> np.ndarray:
+        """Device top-k over a device score matrix -> host [U, k] int32 item ids
+        (the ONLY [U, *] download of the selection path; ~13 MB at ML-25M scale
+        vs the 650 MB score matrix)."""
+        k = min(k, int(scores_dev.shape[1]))
+        return np.asarray(_topk_ids_dev(scores_dev, self._cand_dev(), k))
+
+
+# ---- device-resident scoring + selection (round 5) ---------------------------
+#
+# The study pipeline keeps every [U, C] score matrix in HBM: scores are computed
+# FROM the device-resident raw/max-sim pair + [N]-sized feature vectors, top-k
+# runs on device, and only [U, k] int32 ids ever cross the link (at ML-25M scale
+# this deletes 2 x 650 MB matrix downloads at ~20 MB/s plus a 32 s host
+# argpartition from the study wall; `recommend.py:468-495` materializes all of
+# it on the host).  All jits are module-level (closure identity would recompile
+# per call) and take big arrays as arguments (captured constants blow the
+# remote-compile request limit).
+
+
+@jax.jit
+def _feature_scores_dev(feat_pad: jnp.ndarray, cand: jnp.ndarray, sign: jnp.ndarray):
+    """Row-minmax of sign * feat[cand] — device form of `_feature_scores`."""
+    return minmax_rows(sign * feat_pad[cand])
+
+
+@jax.jit
+def _acc_scores_dev(raw: jnp.ndarray):
+    return minmax_rows(raw)
+
+
+@jax.jit
+def _ela_scores_dev(
+    raw: jnp.ndarray, elasticity: jnp.ndarray,
+    ui_min: jnp.ndarray, ui_max: jnp.ndarray, alpha: jnp.ndarray,
+):
+    """Device form of `ela` (`recommend_combination.py:132-185`): globally
+    normalized similarity + per-user elasticity, distance to alpha * GLOBAL mean."""
+    factor = (raw - ui_min) / jnp.maximum(ui_max - ui_min, 1e-12)
+    factor = factor + elasticity[:, None]
+    mean_factor = jnp.mean(factor)
+    return minmax_rows(-jnp.abs(factor - alpha * mean_factor))
+
+
+@jax.jit
+def _dif_scores_dev(ms: jnp.ndarray, ii_min: jnp.ndarray, ii_max: jnp.ndarray):
+    return 1.0 - (ms - ii_min) / jnp.maximum(ii_max - ii_min, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _rand_scores_dev(key: jax.Array, shape: Tuple[int, int]):
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_ids_dev(scores: jnp.ndarray, cand: jnp.ndarray, k: int):
+    """Top-k candidate ids by score, descending — `lax.top_k` tie order (lowest
+    candidate INDEX wins), identical to the host `topk_from_scores`."""
+    _, idx = jax.lax.top_k(scores, k)
+    return jnp.take_along_axis(cand, idx, axis=1).astype(jnp.int32)
+
 
 def topk_from_scores(
     scores: np.ndarray, candidates: np.ndarray, k: int
 ) -> np.ndarray:
     """Selection form: top-k candidate ids by score, descending ([U, k] int32).
 
-    Host-side argpartition over the candidate axis (C ~ 1000): the round-3
-    device top-k was dominated by shipping the [U, C] score matrix up a ~50 MB/s
-    tunnel (~4 s per method at amazon scale for ~1 s of selection work).
-    Tie order matches `lax.top_k` (lowest candidate index wins) by ordering the
-    partitioned k by index before the stable value sort."""
+    Legacy host-side path (the study pipeline selects on DEVICE via
+    `StrategyScorer.topk_ids` since round 5 and never downloads a score
+    matrix).  Stable full argsort, NOT argpartition: partitioning is unstable
+    among tied scores (which subset of ties crosses the k boundary is
+    arbitrary), whereas a stable sort of -scores reproduces `lax.top_k`'s
+    documented tie order (lowest candidate index wins) exactly — tie-heavy
+    strategies like `pop` (integer interaction counts) hit this constantly."""
     scores = np.asarray(scores, np.float32)
     k = min(k, scores.shape[1])
-    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-    ordix = np.argsort(part, axis=1, kind="stable")
-    part = np.take_along_axis(part, ordix, axis=1)
-    vals = np.take_along_axis(scores, part, axis=1)
-    fin = np.argsort(-vals, axis=1, kind="stable")
-    top = np.take_along_axis(part, fin, axis=1)
+    top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     return np.take_along_axis(candidates, top, axis=1).astype(np.int32)

@@ -50,6 +50,47 @@ def test_candidates_contract(setup):
         assert len(set(sampled.tolist())) == k_c - n_t
 
 
+def test_score_dev_matches_host_scorers(setup):
+    """Round-5 device-resident scoring: every strategy's device score matrix
+    and device top-k selection must match the host score-form API exactly
+    (same formulas, and `lax.top_k` tie order on both paths)."""
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    host = sc.all_scores(seed=3)
+    for m in ("nov", "pop", "qua", "acc", "ela", "dif"):
+        dev = np.asarray(sc.score_dev(m, seed=3))
+        np.testing.assert_allclose(dev, host[m], rtol=1e-5, atol=1e-5, err_msg=m)
+        np.testing.assert_array_equal(
+            sc.topk_ids(sc.score_dev(m, seed=3), cfg.top_k),
+            topk_from_scores(host[m], cand, cfg.top_k),
+            err_msg=m,
+        )
+    # device rand: right shape/range, deterministic in seed (different stream
+    # from numpy's — documented deviation)
+    r1 = np.asarray(sc.score_dev("rand", seed=3))
+    r2 = np.asarray(sc.score_dev("rand", seed=3))
+    assert r1.shape == cand.shape and (0 <= r1).all() and (r1 < 1).all()
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_recommend_fused_dev_matches_host(setup):
+    """Device-accumulated fusion == host recommend_fused for plain and
+    DPP-conditioned specs (rand excluded: device PRNG differs by design)."""
+    from serendipity_tpu.rec.fusion import recommend_fused, recommend_fused_dev
+
+    tiny, eu, ei, cfg, cand = setup
+    sc = StrategyScorer(tiny, eu, ei, cand, user_block=32)
+    host = sc.all_scores(seed=0)
+    for names, weights in ([("acc", "nov"), (0.5, 0.5)],
+                           [("acc", "div"), (0.6, 0.4)]):
+        n1, r1 = recommend_fused(cand, host, names, weights, ei, k=cfg.top_k)
+        n2, r2 = recommend_fused_dev(
+            cand, sc, names, weights, ei, k=cfg.top_k, seed=0
+        )
+        assert n1 == n2
+        np.testing.assert_array_equal(r1, r2, err_msg=n1)
+
+
 def test_candidates_underfilled_user_repeats_first_candidate():
     """A user with fewer eligible items than n_keep gets the shortfall filled by
     repeating their FIRST sampled candidate, never the clamped id n_items-1
