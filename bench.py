@@ -115,10 +115,20 @@ def main():
         "unit": "Gscores/s/chip",
         "vs_baseline": round(scores_per_sec / REFERENCE_CPU_SCORES_PER_SEC, 1),
     }
-    try:
-        rec.update(bench_train_step())
-    except Exception as e:  # train bench must never cost the headline metric
-        rec["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    # STPU_BENCH_SCALE: "both" (default) = gowalla + ML-25M train fields,
+    # "gowalla" / "ml25m" = one scale only.  The flagship ML-25M scale is
+    # driver-visible by default since round 5 (VERDICT r4 #1).
+    scale = os.environ.get("STPU_BENCH_SCALE", "both")
+    if scale in ("both", "gowalla"):
+        try:
+            rec.update(bench_train_step())
+        except Exception as e:  # train bench must never cost the headline metric
+            rec["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    if scale in ("both", "ml25m"):
+        try:
+            rec.update(bench_train_step(scale="ml25m"))
+        except Exception as e:
+            rec["train_bench_error_ml25m"] = f"{type(e).__name__}: {e}"[:200]
     # Fused masked-eval bench: ON by default since round 4 (STPU_BENCH_EVAL=0
     # to skip).  The masked Pallas kernel's heavy Mosaic compile is served from
     # the remote-compile service's persistent executable cache after its first
@@ -213,8 +223,13 @@ def _train_bytes_model(data, cfg, n_users, n_items):
     return 2 * fwd + pool + adam
 
 
-def bench_train_step():
-    """Training-step throughput at gowalla scale (see module docstring)."""
+def bench_train_step(scale: str = "gowalla"):
+    """Training-step throughput (see module docstring).
+
+    scale="gowalla": 29,858 x 40,981, batch 2048 — the tuned headline shape.
+    scale="ml25m": 162,541 x 59,047 (ML-25M), batch 8192 — the flagship scale
+    the reference cannot represent at all (its candidate stage materializes the
+    dense U·Iᵀ in numpy, 38 GB fp16); fields get an `_ml25m` suffix."""
     import jax
     import jax.numpy as jnp
 
@@ -224,11 +239,15 @@ def bench_train_step():
     from serendipity_tpu.train.device import build_device_data
     from serendipity_tpu.train.runner import build_model
 
+    batch_size = 2048 if scale == "gowalla" else 8192
     cfg = apply_overrides(
         ExperimentConfig(),
-        ["model.n_layers=3", "train.batch_size=2048", "train.lr=0.001"],
+        ["model.n_layers=3", f"train.batch_size={batch_size}", "train.lr=0.001"],
     )
-    inter = synthetic_interactions(29858, 40981, avg_degree=35, seed=0)
+    if scale == "gowalla":
+        inter = synthetic_interactions(29858, 40981, avg_degree=35, seed=0)
+    else:
+        inter = synthetic_interactions(162541, 59047, avg_degree=150, seed=0)
     data = build_device_data(
         inter, spmm_mode=cfg.model.spmm, compute_dtype=cfg.model.compute_dtype
     )
@@ -266,13 +285,14 @@ def bench_train_step():
     # round 3 assumed is not reachable here; DESIGN.md §8)
     bytes_model = _train_bytes_model(data, cfg, inter.n_users, inter.n_items)
     hbm_peak = 3.69e11
+    sfx = "" if scale == "gowalla" else f"_{scale}"
     return {
-        "train_step_ms": round(step_s * 1e3, 3),
-        "train_interactions_per_s": round(batch / step_s),
-        "train_epoch_s": round(step_s * steps_per_epoch, 3),
-        "train_model_bytes_per_step": int(bytes_model),
-        "train_achieved_gbps": round(bytes_model / step_s / 1e9, 1),
-        "train_hbm_frac": round(bytes_model / step_s / hbm_peak, 3),
+        f"train_step_ms{sfx}": round(step_s * 1e3, 3),
+        f"train_interactions_per_s{sfx}": round(batch / step_s),
+        f"train_epoch_s{sfx}": round(step_s * steps_per_epoch, 3),
+        f"train_model_bytes_per_step{sfx}": int(bytes_model),
+        f"train_achieved_gbps{sfx}": round(bytes_model / step_s / 1e9, 1),
+        f"train_hbm_frac{sfx}": round(bytes_model / step_s / hbm_peak, 3),
     }
 
 

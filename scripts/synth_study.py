@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--mesh", default="1,1", help="data,model axes")
     args = ap.parse_args()
 
+    # client-side AOT executable cache: cold runs deserialize stored
+    # executables instead of gambling on the remote service's inconsistent
+    # compile cache (4.7 s vs 186 s for the SAME HLO across r5b/r5c).
+    # SERENDIPITY_TPU_AOT="" disables.
+    os.environ.setdefault("SERENDIPITY_TPU_AOT", "runs/aot_cache")
+
     import jax
 
     from serendipity_tpu.config import ExperimentConfig, apply_overrides
@@ -58,7 +64,10 @@ def main():
 
     cfg = apply_overrides(ExperimentConfig(), [f"rec.seeds={args.seeds}"])
     nd, nm = (int(x) for x in args.mesh.split(","))
-    mesh = make_mesh(nd, nm)
+    # a trivial 1x1 mesh would route every stage through the shard_map
+    # wrappers (identical results, but off the AOT-cached single-chip jits);
+    # match cli.cmd_pipeline: only build a mesh when it actually fans out
+    mesh = make_mesh(nd, nm) if nd * nm > 1 else None
     if args.fuse:
         fusions = []
         for spec in args.fuse:

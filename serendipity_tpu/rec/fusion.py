@@ -12,8 +12,20 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
+import jax
+
 from serendipity_tpu.rec.dpp import dpp_rerank
 from serendipity_tpu.rec.strategies import topk_from_scores
+
+
+@jax.jit
+def _weighted_sum(mats, ws):
+    """sum_i ws[i] * mats[i] as ONE jit: eager adds cost a relay round-trip
+    per primitive on remote-compile backends."""
+    out = mats[0] * ws[0]
+    for i in range(1, len(mats)):
+        out = out + mats[i] * ws[i]
+    return out
 
 
 def fuse_scores(
@@ -53,15 +65,19 @@ def recommend_fused_dev(
     relevance-conditioned DPP consumes the fused matrix straight from HBM."""
     import jax.numpy as jnp
 
+    from serendipity_tpu.utils.aot import aot_call
+
     name = "_".join(f"{w}{n}" for n, w in zip(factor_names, weights))
-    fused = None
-    for n, w in zip(factor_names, weights):
-        if n == "div":
-            continue
-        s = scorer.score_dev(n, seed=seed, alpha=alpha) * jnp.float32(w)
-        fused = s if fused is None else fused + s
-    if fused is None:
+    mats = [
+        scorer.score_dev(n, seed=seed, alpha=alpha)
+        for n, w in zip(factor_names, weights) if n != "div"
+    ]
+    ws = [float(w) for n, w in zip(factor_names, weights) if n != "div"]
+    if not mats:
         raise ValueError("fusion needs at least one score-form factor")
+    fused = aot_call(
+        _weighted_sum, (tuple(mats), jnp.asarray(ws, jnp.float32))
+    )
     if "div" in factor_names:
         div_weight = float(weights[list(factor_names).index("div")])
         rec = dpp_rerank(

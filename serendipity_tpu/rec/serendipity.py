@@ -313,16 +313,19 @@ class SerendipityEvaluator:
             for users_b, h_tr_b in degree_buckets(tr_deg_all):
                 h_te_b = ((max(int(te_deg_all[users_b].max(initial=1)), 1)
                            + 127) // 128) * 128
-                a_b, d_b = _acc_dif_subset(
-                    jnp.asarray(mat_rec[users_b], jnp.int32), self.ei_pad,
-                    jnp.asarray(te_starts[users_b]),
-                    jnp.asarray(te_deg_all[users_b].astype(np.int32)),
-                    self._te_idx,
-                    jnp.asarray(tr_starts[users_b]),
-                    jnp.asarray(tr_deg_all[users_b].astype(np.int32)),
-                    self._tr_idx,
-                    n_items=self.n_items, h_te=h_te_b, h_tr=h_tr_b,
-                    block=self.user_block,
+                from serendipity_tpu.utils.aot import aot_call
+
+                a_b, d_b = aot_call(
+                    _acc_dif_subset,
+                    (jnp.asarray(mat_rec[users_b], jnp.int32), self.ei_pad,
+                     jnp.asarray(te_starts[users_b]),
+                     jnp.asarray(te_deg_all[users_b].astype(np.int32)),
+                     self._te_idx,
+                     jnp.asarray(tr_starts[users_b]),
+                     jnp.asarray(tr_deg_all[users_b].astype(np.int32)),
+                     self._tr_idx),
+                    static=dict(n_items=self.n_items, h_te=h_te_b, h_tr=h_tr_b,
+                                block=self.user_block),
                 )
                 ms_te[users_b] = np.asarray(a_b[: len(users_b)])
                 ms_tr[users_b] = np.asarray(d_b[: len(users_b)])
@@ -428,12 +431,16 @@ class SerendipityEvaluator:
                 n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
             )
         else:
-            dev_vals = _ser2_device(
-                jnp.asarray(mat_rec, jnp.int32),
-                jnp.asarray(np.sort(pm, axis=1), jnp.int32),
-                self.ei_pad, self._tr_ptr, self._tr_idx,
-                jnp.float32(self.ii_min),
-                n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
+            from serendipity_tpu.utils.aot import aot_call
+
+            dev_vals = aot_call(
+                _ser2_device,
+                (jnp.asarray(mat_rec, jnp.int32),
+                 jnp.asarray(np.sort(pm, axis=1), jnp.int32),
+                 self.ei_pad, self._tr_ptr, self._tr_idx,
+                 jnp.float32(self.ii_min)),
+                static=dict(n_items=self.n_items, h_tr=self._h_tr,
+                            block=self.user_block),
             )
         vals = np.asarray(dev_vals[:u])
         # users with no train history have no max-sim; exclude (see ser1_valid note)
@@ -529,7 +536,11 @@ class SerendipityEvaluator:
         out["qua"] = float(norm_feat(mr)[flat].mean()) if mr is not None else 0.0
 
         # diversity: 1 - norm(mean pairwise dot of rec embeddings), per user
-        mp = np.asarray(_mean_pairwise_dots(self.ei_dev[jnp.asarray(mat_rec)]))
+        from serendipity_tpu.utils.aot import aot_call
+
+        mp = np.asarray(
+            aot_call(_mean_pairwise_dots, (self.ei_dev[jnp.asarray(mat_rec)],))
+        )
         out["div"] = float(
             np.mean(1.0 - (mp - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12))
         )
@@ -671,10 +682,14 @@ class SerendipityEvaluator:
         out = np.empty(recs.shape[0], np.float32)
         for s in range(0, recs.shape[0], batch):
             r = jnp.asarray(recs[s:s + batch])
+            from serendipity_tpu.utils.aot import aot_call
+
             out[s:s + batch] = np.asarray(
-                _ideal_avg_linkage_batch(
-                    r, en, jnp.float32(f_mn),
-                    jnp.float32(1.0 / max(f_mx - f_mn, 1e-12)), k=k,
+                aot_call(
+                    _ideal_avg_linkage_batch,
+                    (r, en, jnp.float32(f_mn),
+                     jnp.float32(1.0 / max(f_mx - f_mn, 1e-12))),
+                    static=dict(k=k),
                 )
             )
         return out
@@ -701,11 +716,14 @@ class SerendipityEvaluator:
         out = np.empty(recs.shape[0], np.float32)
         for s in range(0, recs.shape[0], batch):
             r = jnp.asarray(recs[s:s + batch])
+            from serendipity_tpu.utils.aot import aot_call
+
             out[s:s + batch] = np.asarray(
-                _ideal_min_cos_diff_batch(
-                    r, en_p, jnp.float32(f_mn),
-                    jnp.float32(1.0 / max(f_mx - f_mn, 1e-12)),
-                    k=k, block=item_block, n_real=n,
+                aot_call(
+                    _ideal_min_cos_diff_batch,
+                    (r, en_p, jnp.float32(f_mn),
+                     jnp.float32(1.0 / max(f_mx - f_mn, 1e-12))),
+                    static=dict(k=k, block=item_block, n_real=n),
                 )
             )
         return out

@@ -411,19 +411,26 @@ class StrategyScorer:
                         sub = users_b[
                             np.minimum(np.arange(s, s + chunk), len(users_b) - 1)
                         ]
-                        r_b, m_b = _raw_and_maxsim_subset(
-                            jnp.asarray(self.emb_user[sub]),
-                            self.ei_pad,
-                            self._cand_dev()[jnp.asarray(sub)],
-                            jnp.asarray(starts[sub]),
-                            jnp.asarray(deg[sub].astype(np.int32)),
-                            tr_idx,
-                            n_items=self.n_items,
-                            h_max=h,
+                        from serendipity_tpu.utils.aot import aot_call
+
+                        r_b, m_b = aot_call(
+                            _raw_and_maxsim_subset,
+                            (jnp.asarray(self.emb_user[sub]),
+                             self.ei_pad,
+                             self._cand_dev()[jnp.asarray(sub)],
+                             jnp.asarray(starts[sub]),
+                             jnp.asarray(deg[sub].astype(np.int32)),
+                             tr_idx),
+                            static=dict(n_items=self.n_items, h_max=h),
                         )
                         rows = jnp.asarray(users_b[s:s + cc])
                         raw = raw.at[rows].set(r_b[:cc])
                         ms = ms.at[rows].set(m_b[:cc])
+            # force the scatter chains here so this pass's wall lands in the
+            # caller's (strategy_scores) timer — async dispatch otherwise defers
+            # it to whichever top-k download forces first (round-5 r5a/b tapes
+            # attributed ~60 s of max-sim compute to the top-k stage)
+            float(raw[0, 0] + ms[0, 0])
             self._rm_dev = (raw, ms)
         return self._rm_dev
 
@@ -500,42 +507,64 @@ class StrategyScorer:
         crosses the host link.  Not cached: each matrix is a few ms of
         elementwise work, and caching 7 of them is GBs of HBM at ML-25M scale.
         Deviation: `rand` draws from the jax PRNG (keyed on `seed`) instead of
-        numpy's — same uniform distribution, different stream."""
+        numpy's — same uniform distribution, different stream.
+
+        Every jit routes through the AOT executable cache (`utils/aot.py`):
+        these are trivial elementwise programs, but on a remote-compile relay
+        each fresh-process jit costs a 10-25 s service round-trip — measured
+        r5d: ~109 s of the top-k stage was six deferred score-jit compiles, vs
+        0.1 s of actual top-k compute (topk_probe)."""
+        from serendipity_tpu.utils.aot import aot_call
+
         cand = self._cand_dev()
         if name == "rand":
-            return _rand_scores_dev(jax.random.PRNGKey(seed), cand.shape)
+            return aot_call(
+                _rand_scores_dev, (jax.random.PRNGKey(seed),),
+                static=dict(shape=tuple(cand.shape)),
+            )
         if name == "nov":
-            return _feature_scores_dev(
-                jnp.asarray(self.dates), cand, jnp.float32(1.0)
+            return aot_call(
+                _feature_scores_dev,
+                (jnp.asarray(self.dates), cand, jnp.float32(1.0)),
             )
         if name == "pop":
-            return _feature_scores_dev(
-                jnp.asarray(self.counts), cand, jnp.float32(-1.0)
+            return aot_call(
+                _feature_scores_dev,
+                (jnp.asarray(self.counts), cand, jnp.float32(-1.0)),
             )
         if name == "qua":
-            return _feature_scores_dev(
-                jnp.asarray(self.mean_ratings), cand, jnp.float32(1.0)
+            return aot_call(
+                _feature_scores_dev,
+                (jnp.asarray(self.mean_ratings), cand, jnp.float32(1.0)),
             )
         raw, ms = self._raw_and_maxsim_dev()
         if name == "acc":
-            return _acc_scores_dev(raw)
+            return aot_call(_acc_scores_dev, (raw,))
         if name == "ela":
-            return _ela_scores_dev(
-                raw, jnp.asarray(self.elasticity),
-                jnp.float32(self.ui_min), jnp.float32(self.ui_max),
-                jnp.float32(alpha),
+            return aot_call(
+                _ela_scores_dev,
+                (raw, jnp.asarray(self.elasticity),
+                 jnp.float32(self.ui_min), jnp.float32(self.ui_max),
+                 jnp.float32(alpha)),
             )
         if name == "dif":
-            return _dif_scores_dev(ms, jnp.float32(self.ii_min),
-                                   jnp.float32(self.ii_max))
+            return aot_call(
+                _dif_scores_dev,
+                (ms, jnp.float32(self.ii_min), jnp.float32(self.ii_max)),
+            )
         raise ValueError(f"unknown score-form strategy {name!r}")
 
     def topk_ids(self, scores_dev: jnp.ndarray, k: int) -> np.ndarray:
         """Device top-k over a device score matrix -> host [U, k] int32 item ids
         (the ONLY [U, *] download of the selection path; ~13 MB at ML-25M scale
         vs the 650 MB score matrix)."""
+        from serendipity_tpu.utils.aot import aot_call
+
         k = min(k, int(scores_dev.shape[1]))
-        return np.asarray(_topk_ids_dev(scores_dev, self._cand_dev(), k))
+        return np.asarray(
+            aot_call(_topk_ids_dev, (scores_dev, self._cand_dev()),
+                     static=dict(k=k))
+        )
 
 
 # ---- device-resident scoring + selection (round 5) ---------------------------
@@ -587,8 +616,12 @@ def _rand_scores_dev(key: jax.Array, shape: Tuple[int, int]):
 @partial(jax.jit, static_argnames=("k",))
 def _topk_ids_dev(scores: jnp.ndarray, cand: jnp.ndarray, k: int):
     """Top-k candidate ids by score, descending — `lax.top_k` tie order (lowest
-    candidate INDEX wins), identical to the host `topk_from_scores`."""
-    _, idx = jax.lax.top_k(scores, k)
+    candidate INDEX wins), identical to the host `topk_from_scores`.  Uses the
+    chunked exact 2-stage reduction: plain `lax.top_k` lowers to a full per-row
+    sort on TPU (`ops/topk.py` header measurement)."""
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    _, idx = topk_exact_2stage(scores, k)
     return jnp.take_along_axis(cand, idx, axis=1).astype(jnp.int32)
 
 

@@ -1,0 +1,94 @@
+"""Client-side AOT executable cache (VERDICT r4 #3: cold-start compile variance).
+
+The remote-compile service keeps a server-side executable cache, but it is
+INCONSISTENT: the same evaluator-init HLO measured 4.7 s and 186.2 s across
+consecutive cold ML-25M studies (runs/synth_ml25m_study_r5b vs _r5c), and round
+4 measured 4.9/48/174 s for one compile.  `jax.experimental.serialize_executable`
+removes the gamble: the compiled executable round-trips through a client-side
+file — measured on this relay: 0.1 s deserialize + 0.1 s first run for a
+NEVER-executed program (vs its 11.6 s compile), below the ~1-5 s floor of any
+compile-service interaction, i.e. the load path does not touch the server
+compiler at all.
+
+Enable with SERENDIPITY_TPU_AOT=<dir>.  Off by default: correctness paths never
+depend on it, and the payload ties to (backend, jax version, shapes, statics) —
+all part of the cache key.  Used by the heavy per-shape study jits
+(candidate generation, raw/max-sim, global min/max); cheap elementwise jits are
+not worth a file each.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+log = logging.getLogger(__name__)
+
+
+def _stable_repr(v: Any) -> str:
+    """Key-stable repr: callables by qualname (plain repr embeds addresses)."""
+    if callable(v):
+        return getattr(v, "__qualname__", getattr(v, "__name__", "callable"))
+    return repr(v)
+
+
+def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
+    """Call a module-level jitted function through the AOT executable cache.
+
+    `args` are the dynamic (traced) positional arguments, `static` the
+    static-argname kwargs.  With SERENDIPITY_TPU_AOT unset this is exactly
+    `jitted(*args, **static)`.  With it set: cache hit -> deserialize the
+    stored executable and run (no compile-service interaction); miss ->
+    lower+compile once, store the serialized executable, run.  Any failure in
+    the cache path degrades to the plain call.
+    """
+    static = static or {}
+    cache = os.environ.get("SERENDIPITY_TPU_AOT")
+    if not cache:
+        return jitted(*args, **static)
+    import jax
+
+    try:
+        leaves, treedef = jax.tree.flatten(args)
+        sig = [
+            (tuple(getattr(l, "shape", ())), str(getattr(l, "dtype", type(l).__name__)))
+            for l in leaves
+        ]
+        name = getattr(jitted, "__name__", None) or type(jitted).__name__
+        key_src = repr((
+            name, tag, jax.default_backend(), jax.__version__, str(treedef), sig,
+            sorted((k, _stable_repr(v)) for k, v in static.items()),
+        ))
+        key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+        path = os.path.join(cache, f"{name}-{key}.aotx")
+    except Exception as e:                      # key derivation must never break the call
+        log.warning("aot: key derivation failed (%s); plain call", e)
+        return jitted(*args, **static)
+
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            from jax.experimental.serialize_executable import deserialize_and_load
+
+            return deserialize_and_load(payload, in_tree, out_tree)(*args)
+        except Exception as e:
+            log.warning("aot: load of %s failed (%s); recompiling", path, e)
+
+    compiled = jitted.lower(*args, **static).compile()
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(cache, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache, suffix=".aotx.tmp")
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)                    # atomic vs concurrent writers
+    except Exception as e:
+        log.warning("aot: serialize failed (%s); result still returned", e)
+    return compiled(*args)
