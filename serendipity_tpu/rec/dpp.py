@@ -189,10 +189,14 @@ def dpp_rerank(
                 rel_factor=rel_factor, block=user_block,
             )
         else:
-            pos_c = _dpp_positions_all(
-                cand_c, ei_dev, rel_c, k,
-                div_weight=div_weight, degenerate_diag=degenerate_diag,
-                rel_factor=rel_factor, block=min(user_block, chunk),
+            from serendipity_tpu.utils.aot import aot_call
+
+            pos_c = aot_call(
+                _dpp_positions_all, (cand_c, ei_dev, rel_c),
+                static=dict(k=k, div_weight=div_weight,
+                            degenerate_diag=degenerate_diag,
+                            rel_factor=rel_factor,
+                            block=min(user_block, chunk)),
             )
         parts.append((s, c, pos_c))
     pos = np.empty((n_users, k), np.int32)

@@ -194,11 +194,14 @@ def item_item_minmax(
     emb_item: np.ndarray, block: int = 2048
 ) -> Tuple[float, float]:
     """Global min/max of I @ I^T, blocked (`utils.py:487-529` mem-poor path);
-    one dispatch, device-side accumulation (`rec/candidates._minmax_all`)."""
+    one dispatch, device-side accumulation (`rec/candidates._minmax_all`),
+    AOT-cached (this is the evaluator-init compile that measured 4.9-186 s
+    through the remote service's cache lottery)."""
     from serendipity_tpu.rec.candidates import _minmax_all
+    from serendipity_tpu.utils.aot import aot_call
 
     ei = jnp.asarray(emb_item, dtype=jnp.float32)
-    mn, mx = _minmax_all(ei, ei, False, block)
+    mn, mx = aot_call(_minmax_all, (ei, ei), static=dict(fp16=False, block=block))
     return float(mn), float(mx)
 
 

@@ -71,11 +71,20 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
 
     if os.path.exists(path):
         try:
+            import time as _time
+
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
             from jax.experimental.serialize_executable import deserialize_and_load
 
-            return deserialize_and_load(payload, in_tree, out_tree)(*args)
+            t0 = _time.perf_counter()
+            loaded = deserialize_and_load(payload, in_tree, out_tree)
+            dt = _time.perf_counter() - t0
+            if dt > 5.0:
+                # distinguishes a slow executable LOAD from slow execution when
+                # attributing wall-clock blips on remote relays
+                log.warning("aot: slow deserialize of %s: %.1fs", path, dt)
+            return loaded(*args)
         except Exception as e:
             log.warning("aot: load of %s failed (%s); recompiling", path, e)
 
