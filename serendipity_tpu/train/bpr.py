@@ -202,7 +202,10 @@ class BPRTrainer:
                 state.params = best_params
                 break
             rec: Dict[str, float] = {"epoch": state.epoch, "loss": loss, "time": dt}
-            if evaluator is not None and state.epoch % tcfg.eval_every == 0:
+            # eval_every <= 0 = never evaluate during training (final eval in
+            # the runner still runs); a 0 must not crash on the modulo
+            if (evaluator is not None and tcfg.eval_every > 0
+                    and state.epoch % tcfg.eval_every == 0):
                 with timer("eval"):
                     metrics = evaluator.evaluate(state.params)
                 rec.update(metrics)
