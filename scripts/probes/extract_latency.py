@@ -73,7 +73,9 @@ print("trip-latency sweep (one [256,1024] VMEM tile, serial cursor chain):", flu
 results = {}
 for with_val in (False, True):
     walls = []
-    for trips in (256, 1024, 4096):
+    # big trip counts: the dispatch RPC floor is ~25-30 ms, so the
+    # kernel must dominate for a measurable slope
+    for trips in (16384, 131072, 524288):
         t = timeit(lambda trips=trips: float(run_lat(x, trips, with_val).sum()))
         walls.append((trips, t))
         print(f"  with_val={with_val} trips={trips}: {t*1e3:.2f} ms", flush=True)

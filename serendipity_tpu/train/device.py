@@ -63,6 +63,8 @@ def build_device_data(
     compute_dtype: str = "float32",
     sampler: str = "bitmap",
     bitmap_budget_bytes: int = 2 << 30,
+    head_k: int | None = None,          # override the hybrid cost model's head
+                                        # size (probes/sweeps; None = model)
 ) -> DeviceData:
     """`spmm_mode` selects the propagation kernel family:
 
@@ -100,7 +102,8 @@ def build_device_data(
     if spmm_mode in ("auto", "hybrid"):
         from serendipity_tpu.ops.spmm_hybrid import split_bipartite_hybrid_spmm
 
-        kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=tail_ell_width)
+        kw = dict(dense_dtype=jnp.dtype(compute_dtype), ell_width=tail_ell_width,
+                  head_k=head_k)
         spmm_split = split_bipartite_hybrid_spmm(inter, adj.u_w[:e], adj.i_w[:e], **kw)
         if spmm_split is None:
             if spmm_mode == "hybrid":
