@@ -399,9 +399,15 @@ def create_candidates(
         )
     else:
         dev = cand_parts[:n_users]
-    out = append_test_tail(
-        np.ascontiguousarray(np.asarray(dev)).copy(), inter, k_c
-    )
+    # the host copy exists for the reference's candidate.npy memoize contract
+    # (`recommend.py:365-368`) and the host-side consumers; at ML-25M it is a
+    # 650 MB int32 matrix moving through a ~20 MB/s tunnel (~32 s of the
+    # candidates stage) — ship it as uint16 when the catalog fits (halves it)
+    if n_items <= np.iinfo(np.uint16).max:
+        host = np.asarray(dev.astype(jnp.uint16)).astype(np.int32)
+    else:
+        host = np.ascontiguousarray(np.asarray(dev)).copy()
+    out = append_test_tail(host, inter, k_c)
     if not return_device:
         return out
     if int(inter.test_indptr[-1]) > 0:
