@@ -122,7 +122,9 @@ def run_seed(
         with timer("evaluator_init"):
             evaluator = SerendipityEvaluator(inter, emb_item, mesh=mesh)
     with timer("evaluate"):
-        results = evaluator.evaluate_methods(recs, candidates=cand)
+        results = evaluator.evaluate_methods(
+            recs, candidates=cand, cand_dev=cand_dev
+        )
     methods = [m for m in rcfg.strategies] + fused_names
     mat = evaluator.result_matrix(results, methods)
     # label-based serendipity columns, present only for serLabel datasets

@@ -258,6 +258,19 @@ def _block_candidates(
     return jnp.where(srt < n_items, srt, first).astype(jnp.int32)
 
 
+@jax.jit
+def _set_tail_dev(dev, rows, cols, vals):
+    """Test-tail overwrite on the device copy (`recommend.py:444-451`)."""
+    return dev.at[rows, cols].set(vals)
+
+
+@partial(jax.jit, static_argnames=("n", "to_u16"))
+def _assemble_candidates(parts, n: int, to_u16: bool):
+    """(int32 device matrix [n, K_c], narrow transfer copy) from chunk parts."""
+    dev = jnp.concatenate(parts, axis=0)[:n] if len(parts) > 1 else parts[0][:n]
+    return dev, (dev.astype(jnp.uint16) if to_u16 else dev)
+
+
 @partial(
     jax.jit,
     static_argnames=("k_c", "num_fold", "n_items", "h_max", "block"),
@@ -392,27 +405,32 @@ def create_candidates(
                     ),
                 )[:c]
             )
+    from serendipity_tpu.utils.aot import aot_call
+
+    to_u16 = n_items <= np.iinfo(np.uint16).max
     if isinstance(cand_parts, list):
-        dev = (
-            jnp.concatenate(cand_parts, axis=0)[:n_users]
-            if len(cand_parts) > 1 else cand_parts[0][:n_users]
-        )
+        parts = tuple(cand_parts)
     else:
-        dev = cand_parts[:n_users]
+        parts = (cand_parts,)
+    # one AOT-cached jit assembles (concat + slice + narrow): first-use EAGER
+    # concat/cast at [162k, 1000] shapes each cost a relay compile per process
+    dev, narrow = aot_call(
+        _assemble_candidates, (parts,), static=dict(n=n_users, to_u16=to_u16)
+    )
     # the host copy exists for the reference's candidate.npy memoize contract
     # (`recommend.py:365-368`) and the host-side consumers; at ML-25M it is a
     # 650 MB int32 matrix moving through a ~20 MB/s tunnel (~32 s of the
     # candidates stage) — ship it as uint16 when the catalog fits (halves it)
-    if n_items <= np.iinfo(np.uint16).max:
-        host = np.asarray(dev.astype(jnp.uint16)).astype(np.int32)
-    else:
-        host = np.ascontiguousarray(np.asarray(dev)).copy()
+    host = np.asarray(narrow).astype(np.int32) if to_u16 else np.asarray(narrow)
     out = append_test_tail(host, inter, k_c)
     if not return_device:
         return out
     if int(inter.test_indptr[-1]) > 0:
         rows, cols, vals = _test_tail_indices(inter, k_c)
-        dev = dev.at[jnp.asarray(rows), jnp.asarray(cols)].set(
-            jnp.asarray(vals.astype(np.int32))
+        dev = aot_call(
+            _set_tail_dev,
+            (dev, jnp.asarray(rows.astype(np.int32)),
+             jnp.asarray(cols.astype(np.int32)),
+             jnp.asarray(vals.astype(np.int32))),
         )
     return out, dev

@@ -175,11 +175,18 @@ def dpp_rerank(
     parts = []
     for s, c in _chunk_rows(n_users, chunk):
         rows = np.minimum(np.arange(s, s + chunk), n_users - 1)
+        from serendipity_tpu.utils.aot import gather_rows
+
         cand_c = (
-            cand_dev[jnp.asarray(rows)] if cand_dev is not None
+            gather_rows(cand_dev, rows) if cand_dev is not None
             else jnp.asarray(cand32[rows])
         )
-        rel_c = None if rel32 is None else jnp.asarray(rel32[rows])
+        if rel32 is None:
+            rel_c = None
+        elif isinstance(rel32, np.ndarray):
+            rel_c = jnp.asarray(rel32[rows])
+        else:                               # device-resident fused scores
+            rel_c = gather_rows(rel32, rows)
         if mesh is not None:
             from serendipity_tpu.parallel.study import dpp_positions_sharded
 

@@ -123,8 +123,28 @@ def _ser2_device(
     return loop_user_blocks(blk, mat_rec.shape[0], block=block)[0]
 
 
+@partial(jax.jit, static_argnames=("half",))
+def _pm_halves_dev(cand: jnp.ndarray, qua_feat: jnp.ndarray,
+                   pop_feat: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Device form of `create_pm`'s two top-half selections: [U, 2*half] ids =
+    top `half` candidates by quality feature ++ top `half` by popularity."""
+    from serendipity_tpu.ops.topk import topk_exact_2stage
+
+    _, qi = topk_exact_2stage(qua_feat[cand], half)
+    _, pi = topk_exact_2stage(pop_feat[cand], half)
+    return jnp.concatenate(
+        [jnp.take_along_axis(cand, qi, axis=1),
+         jnp.take_along_axis(cand, pi, axis=1)], axis=1
+    ).astype(jnp.int32)
+
+
 @jax.jit
-def _mean_pairwise_dots(rec_emb: jnp.ndarray) -> jnp.ndarray:
+def _mean_pairwise_dots(rec: jnp.ndarray, ei_dev: jnp.ndarray) -> jnp.ndarray:
+    """Per-user mean pairwise dot of the rec items' embeddings.  The embedding
+    gather lives INSIDE the jit: a first-use EAGER gather at [162k, 20, 64]
+    costs a ~44 s relay compile every process (round-5 probe), and eager ops
+    bypass the AOT executable cache."""
+    rec_emb = ei_dev[rec]
     g = jnp.einsum(
         "ukd,ujd->ukj", rec_emb, rec_emb, preferred_element_type=jnp.float32
     )
@@ -352,9 +372,18 @@ class SerendipityEvaluator:
 
     # ---- pm baseline + ser2 -------------------------------------------------
 
-    def create_pm(self, candidates: np.ndarray, k: int = 200) -> np.ndarray:
+    def create_pm(
+        self, candidates: np.ndarray, k: int = 200, cand_dev=None
+    ) -> np.ndarray:
         """Pseudo-baseline: top k/2 by quality + top k/2 by popularity from each
-        user's candidates (`utils.py:70-114`)."""
+        user's candidates (`utils.py:70-114`).
+
+        With a device-resident candidate matrix (`cand_dev`) the two top-half
+        selections run on device and only [U, k] ids come back — the host
+        argsorts over [162k, 1000] cost ~31 s of the evaluate stage at ML-25M
+        scale (round-5 eval_pm tape).  Selection among TIED feature values is
+        deterministic on device (`lax.top_k`: lowest candidate index) where the
+        host path's unstable argpartition-order was arbitrary."""
         from serendipity_tpu.data.datasets import derive_item_metadata
 
         if self.inter.item_counts is None or self.inter.item_mean_ratings is None:
@@ -368,7 +397,19 @@ class SerendipityEvaluator:
             np.float32,
         )
         counts = np.asarray(self.inter.item_counts, np.float32)
-        half = k // 2
+        # numpy's [:, :half] silently clips to the candidate width; match it
+        half = min(k // 2, candidates.shape[1])
+        if cand_dev is not None:
+            from serendipity_tpu.utils.aot import aot_call
+
+            pm = aot_call(
+                _pm_halves_dev,
+                (cand_dev, jnp.asarray(mean_rating), jnp.asarray(counts)),
+                static=dict(half=half),
+            )
+            if self.n_items <= np.iinfo(np.uint16).max:
+                return np.asarray(pm.astype(jnp.uint16)).astype(np.int32)
+            return np.asarray(pm)
         qua_vals = mean_rating[candidates]
         pop_vals = counts[candidates]
         qua_idx = np.argsort(-qua_vals, axis=1)[:, :half]
@@ -539,7 +580,10 @@ class SerendipityEvaluator:
         from serendipity_tpu.utils.aot import aot_call
 
         mp = np.asarray(
-            aot_call(_mean_pairwise_dots, (self.ei_dev[jnp.asarray(mat_rec)],))
+            aot_call(
+                _mean_pairwise_dots,
+                (jnp.asarray(mat_rec, jnp.int32), self.ei_dev),
+            )
         )
         out["div"] = float(
             np.mean(1.0 - (mp - self.ii_min) / max(self.ii_max - self.ii_min, 1e-12))
@@ -553,21 +597,27 @@ class SerendipityEvaluator:
         recs: Dict[str, np.ndarray],
         candidates: Optional[np.ndarray] = None,
         pm: Optional[np.ndarray] = None,
+        cand_dev=None,                      # device candidates: pm on device
     ) -> Dict[str, Dict[str, float]]:
         """Returns per-method metric dicts with the outlier-excluded cross-method max
         normalization of acc/dif (`utils.py:657-671`)."""
+        from serendipity_tpu.utils.timing import timer
+
         if pm is None:
             if candidates is None:
                 raise ValueError("need candidates or pm for ser2")
-            pm = self.create_pm(candidates)
+            with timer("eval_pm"):
+                pm = self.create_pm(candidates, cand_dev=cand_dev)
 
         valid = self.ser1_valid
         pm_keys = self.pm_row_keys(pm, self.n_items)
         accs, difs, ser2s = {}, {}, {}
         for m, rec in recs.items():
-            a, d, ms_tr = self.acc_dif_arrays(rec, return_raw_tr=True)
+            with timer("eval_acc_dif"):
+                a, d, ms_tr = self.acc_dif_arrays(rec, return_raw_tr=True)
             accs[m], difs[m] = a[valid], d[valid]
-            ser2s[m] = self.ser2_from_ms(rec, pm_keys, ms_tr)
+            with timer("eval_ser2"):
+                ser2s[m] = self.ser2_from_ms(rec, pm_keys, ms_tr)
         acc_max = max(
             float(np.max(exclude_outliers(a.reshape(-1)))) for a in accs.values()
         )
@@ -580,7 +630,8 @@ class SerendipityEvaluator:
         for m, rec in recs.items():
             a = accs[m] / max(acc_max, 1e-12)
             d = difs[m] / max(dif_max, 1e-12)
-            row = self.factor_metrics(rec)
+            with timer("eval_factor"):
+                row = self.factor_metrics(rec)
             row["acc"] = float(a.mean())
             row["dif"] = float(d.mean())
             row["ser1"] = self.ser1_from_acc_dif(a, d)

@@ -377,20 +377,24 @@ class StrategyScorer:
                     )
                     for s, cc in _chunk_rows(nb, chunk):
                         sub = users_b[np.minimum(np.arange(s, s + chunk), nb - 1)]
+                        from serendipity_tpu.utils.aot import (
+                            gather_rows, scatter_rows,
+                        )
+
                         r_b, m_b = raw_and_maxsim_sharded(
                             self.mesh,
                             jnp.asarray(self.emb_user[sub]),
                             self.ei_pad,
-                            self._cand_dev()[jnp.asarray(sub)],
+                            gather_rows(self._cand_dev(), sub),
                             jnp.asarray(tr_s[sub]),
                             jnp.asarray(tr_d[sub]),
                             tr_idx,
                             n_items=self.n_items,
                             h_max=h,
                         )
-                        rows = jnp.asarray(users_b[s:s + cc])
-                        raw = raw.at[rows].set(r_b[:cc])
-                        ms = ms.at[rows].set(m_b[:cc])
+                        rows = users_b[s:s + cc]
+                        raw = scatter_rows(raw, rows, r_b[:cc])
+                        ms = scatter_rows(ms, rows, m_b[:cc])
             else:
                 # degree-bucketed: normal users at the P95 history width, the
                 # heavy tail at the true max — identical results, up to ~10x
@@ -414,21 +418,23 @@ class StrategyScorer:
                         sub = users_b[
                             np.minimum(np.arange(s, s + chunk), len(users_b) - 1)
                         ]
-                        from serendipity_tpu.utils.aot import aot_call
+                        from serendipity_tpu.utils.aot import (
+                            aot_call, gather_rows, scatter_rows,
+                        )
 
                         r_b, m_b = aot_call(
                             _raw_and_maxsim_subset,
                             (jnp.asarray(self.emb_user[sub]),
                              self.ei_pad,
-                             self._cand_dev()[jnp.asarray(sub)],
+                             gather_rows(self._cand_dev(), sub),
                              jnp.asarray(starts[sub]),
                              jnp.asarray(deg[sub].astype(np.int32)),
                              tr_idx),
                             static=dict(n_items=self.n_items, h_max=h),
                         )
-                        rows = jnp.asarray(users_b[s:s + cc])
-                        raw = raw.at[rows].set(r_b[:cc])
-                        ms = ms.at[rows].set(m_b[:cc])
+                        rows = users_b[s:s + cc]
+                        raw = scatter_rows(raw, rows, r_b[:cc])
+                        ms = scatter_rows(ms, rows, m_b[:cc])
             # force the scatter chains here so this pass's wall lands in the
             # caller's (strategy_scores) timer — async dispatch otherwise defers
             # it to whichever top-k download forces first (round-5 r5a/b tapes

@@ -28,6 +28,42 @@ from typing import Any, Dict, Optional, Tuple
 
 log = logging.getLogger(__name__)
 
+# in-process memo of loaded/compiled executables: repeated calls (per-chunk
+# dispatch loops, per-method metric passes) must not pay a disk read +
+# relay-side executable load each time — measured ~1-2 s per deserialize,
+# ~48 s of one ML-25M evaluate stage before this cache
+_loaded: Dict[str, Any] = {}
+
+
+import jax
+
+
+@jax.jit
+def _gather_rows_jit(mat, rows):
+    return mat[rows]
+
+
+@jax.jit
+def _scatter_rows_jit(buf, rows, vals):
+    return buf.at[rows].set(vals)
+
+
+def gather_rows(mat, rows):
+    """`mat[rows]` through the AOT cache.  First-use EAGER ops at study shapes
+    compile through the relay like jits do (measured ~44 s for one [162k, 20, 64]
+    gather) but bypass the executable cache — big-array manipulations on hot
+    paths go through these helpers instead."""
+    import jax.numpy as jnp
+
+    return aot_call(_gather_rows_jit, (mat, jnp.asarray(rows)))
+
+
+def scatter_rows(buf, rows, vals):
+    """`buf.at[rows].set(vals)` through the AOT cache."""
+    import jax.numpy as jnp
+
+    return aot_call(_scatter_rows_jit, (buf, jnp.asarray(rows), vals))
+
 
 def _stable_repr(v: Any) -> str:
     """Key-stable repr: callables by qualname (plain repr embeds addresses)."""
@@ -69,6 +105,8 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
         log.warning("aot: key derivation failed (%s); plain call", e)
         return jitted(*args, **static)
 
+    if path in _loaded:
+        return _loaded[path](*args)
     if os.path.exists(path):
         try:
             import time as _time
@@ -84,11 +122,13 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
                 # distinguishes a slow executable LOAD from slow execution when
                 # attributing wall-clock blips on remote relays
                 log.warning("aot: slow deserialize of %s: %.1fs", path, dt)
+            _loaded[path] = loaded
             return loaded(*args)
         except Exception as e:
             log.warning("aot: load of %s failed (%s); recompiling", path, e)
 
     compiled = jitted.lower(*args, **static).compile()
+    _loaded[path] = compiled
     try:
         from jax.experimental.serialize_executable import serialize
 
