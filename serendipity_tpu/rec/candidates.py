@@ -421,7 +421,12 @@ def create_candidates(
     # (`recommend.py:365-368`) and the host-side consumers; at ML-25M it is a
     # 650 MB int32 matrix moving through a ~20 MB/s tunnel (~32 s of the
     # candidates stage) — ship it as uint16 when the catalog fits (halves it)
-    host = np.asarray(narrow).astype(np.int32) if to_u16 else np.asarray(narrow)
+    # astype copies (and widens); the plain-int32 branch must copy explicitly —
+    # np.asarray of a jax array is a READ-ONLY view and the tail write mutates
+    host = (
+        np.asarray(narrow).astype(np.int32) if to_u16
+        else np.array(narrow, copy=True)
+    )
     out = append_test_tail(host, inter, k_c)
     if not return_device:
         return out

@@ -122,6 +122,33 @@ def test_candidates_underfilled_user_repeats_first_candidate():
     assert (samp == samp[0]).sum() >= 4  # 2 eligible + 4 repeats
 
 
+def test_candidates_wide_catalog_int32_path():
+    """Catalogs past the uint16 range take the int32 transfer branch, whose
+    host copy must be writable for the test-tail overwrite (regression: a
+    read-only np view of the device array crashed at amazon scale)."""
+    from serendipity_tpu.data import interactions_from_arrays
+
+    n_items = 70_000
+    tr_u = np.repeat(np.arange(4), 5)
+    tr_i = (np.arange(20) * 3001) % n_items
+    te_u = np.arange(4)
+    te_i = np.array([65_900, 66_000, 69_999, 68_123])
+    inter = interactions_from_arrays(
+        tr_u, tr_i, te_u, te_i, n_users=4, n_items=n_items
+    )
+    rng = np.random.default_rng(0)
+    eu = rng.standard_normal((4, 8)).astype(np.float32)
+    ei = rng.standard_normal((n_items, 8)).astype(np.float32)
+    cand, cand_dev = create_candidates(
+        inter, eu, ei, RecConfig(n_candidates=12, top_k=4), seed=0,
+        user_block=4, return_device=True,
+    )
+    assert cand.dtype == np.int32
+    for u in range(4):
+        assert cand[u, -1] == te_i[u]          # tail overwrite landed
+    np.testing.assert_array_equal(np.asarray(cand_dev), cand)
+
+
 def test_candidates_stratification_proportional(setup):
     """Bin shares among sampled candidates approximate the eligible-bin shares."""
     tiny, eu, ei, cfg, cand = setup
