@@ -119,6 +119,9 @@ def main():
     # "gowalla" / "ml25m" = one scale only.  The flagship ML-25M scale is
     # driver-visible by default since round 5 (VERDICT r4 #1).
     scale = os.environ.get("STPU_BENCH_SCALE", "both")
+    if scale not in ("both", "gowalla", "ml25m"):
+        rec["train_bench_error"] = f"unknown STPU_BENCH_SCALE={scale!r}"
+        scale = "both"
     if scale in ("both", "gowalla"):
         try:
             rec.update(bench_train_step())

@@ -41,7 +41,10 @@ def main():
     # executables instead of gambling on the remote service's inconsistent
     # compile cache (4.7 s vs 186 s for the SAME HLO across r5b/r5c).
     # SERENDIPITY_TPU_AOT="" disables.
-    os.environ.setdefault("SERENDIPITY_TPU_AOT", "runs/aot_cache")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault(
+        "SERENDIPITY_TPU_AOT", os.path.join(repo_root, "runs", "aot_cache")
+    )
 
     import jax
 

@@ -49,6 +49,7 @@ import numpy as np
 
 from serendipity_tpu.config import RecConfig
 from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.utils.aot import aot_call, gather_rows
 
 # bisection halvings: enough to separate any two distinct float32 priorities
 # in [2^-24, 1) — collisions below that are measure-zero for this use and only
@@ -88,7 +89,6 @@ def _chunk_rows(n: int, chunk: int):
 
 def _minmax_chunked(eu: jnp.ndarray, ei: jnp.ndarray, fp16: bool, block: int):
     """Global (min, max) device scalars, host-chunked over users."""
-    from serendipity_tpu.utils.aot import aot_call
 
     n = eu.shape[0]
     chunk = USERS_PER_DISPATCH
@@ -391,7 +391,6 @@ def create_candidates(
             # user — keeps ONE compiled shape per dataset (each distinct shape
             # costs a full kernel compile on remote toolchains)
             rows = np.minimum(np.arange(s, s + chunk, dtype=np.int32), n_users - 1)
-            from serendipity_tpu.utils.aot import aot_call
 
             cand_parts.append(
                 aot_call(
@@ -405,7 +404,6 @@ def create_candidates(
                     ),
                 )[:c]
             )
-    from serendipity_tpu.utils.aot import aot_call
 
     to_u16 = n_items <= np.iinfo(np.uint16).max
     if isinstance(cand_parts, list):

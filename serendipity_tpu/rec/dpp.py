@@ -29,6 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from serendipity_tpu.utils.aot import aot_call, gather_rows
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -175,7 +176,6 @@ def dpp_rerank(
     parts = []
     for s, c in _chunk_rows(n_users, chunk):
         rows = np.minimum(np.arange(s, s + chunk), n_users - 1)
-        from serendipity_tpu.utils.aot import gather_rows
 
         cand_c = (
             gather_rows(cand_dev, rows) if cand_dev is not None
@@ -196,7 +196,6 @@ def dpp_rerank(
                 rel_factor=rel_factor, block=user_block,
             )
         else:
-            from serendipity_tpu.utils.aot import aot_call
 
             pos_c = aot_call(
                 _dpp_positions_all, (cand_c, ei_dev, rel_c),

@@ -16,16 +16,21 @@ import jax
 
 from serendipity_tpu.rec.dpp import dpp_rerank
 from serendipity_tpu.rec.strategies import topk_from_scores
+from serendipity_tpu.utils.aot import aot_call
 
 
 @jax.jit
-def _weighted_sum(mats, ws):
-    """sum_i ws[i] * mats[i] as ONE jit: eager adds cost a relay round-trip
-    per primitive on remote-compile backends."""
-    out = mats[0] * ws[0]
-    for i in range(1, len(mats)):
-        out = out + mats[i] * ws[i]
-    return out
+def _scale(mat, w):
+    return mat * w
+
+
+@jax.jit
+def _axpy(acc, mat, w):
+    """acc + w * mat as one jit (eager adds cost a relay round-trip per
+    primitive).  Fusion accumulates PAIRWISE so at most two [U, C] factor
+    matrices are alive at once — an all-at-once sum would pin every factor's
+    650 MB matrix in HBM simultaneously at ML-25M scale."""
+    return acc + mat * w
 
 
 def fuse_scores(
@@ -65,19 +70,19 @@ def recommend_fused_dev(
     relevance-conditioned DPP consumes the fused matrix straight from HBM."""
     import jax.numpy as jnp
 
-    from serendipity_tpu.utils.aot import aot_call
 
     name = "_".join(f"{w}{n}" for n, w in zip(factor_names, weights))
-    mats = [
-        scorer.score_dev(n, seed=seed, alpha=alpha)
-        for n, w in zip(factor_names, weights) if n != "div"
-    ]
-    ws = [float(w) for n, w in zip(factor_names, weights) if n != "div"]
-    if not mats:
+    fused = None
+    for n, w in zip(factor_names, weights):
+        if n == "div":
+            continue
+        s_n = scorer.score_dev(n, seed=seed, alpha=alpha)
+        if fused is None:
+            fused = aot_call(_scale, (s_n, jnp.float32(w)))
+        else:
+            fused = aot_call(_axpy, (fused, s_n, jnp.float32(w)))
+    if fused is None:
         raise ValueError("fusion needs at least one score-form factor")
-    fused = aot_call(
-        _weighted_sum, (tuple(mats), jnp.asarray(ws, jnp.float32))
-    )
     if "div" in factor_names:
         div_weight = float(weights[list(factor_names).index("div")])
         rec = dpp_rerank(

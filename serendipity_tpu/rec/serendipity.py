@@ -23,6 +23,7 @@ from functools import partial
 
 from serendipity_tpu.data.datasets import Interactions
 from serendipity_tpu.ops.search import contains_in_rows
+from serendipity_tpu.utils.aot import aot_call
 from serendipity_tpu.rec.strategies import (
     item_item_minmax,
     loop_user_blocks,
@@ -333,7 +334,6 @@ class SerendipityEvaluator:
             for users_b, h_tr_b in degree_buckets(tr_deg_all):
                 h_te_b = ((max(int(te_deg_all[users_b].max(initial=1)), 1)
                            + 127) // 128) * 128
-                from serendipity_tpu.utils.aot import aot_call
 
                 a_b, d_b = aot_call(
                     _acc_dif_subset,
@@ -400,7 +400,6 @@ class SerendipityEvaluator:
         # numpy's [:, :half] silently clips to the candidate width; match it
         half = min(k // 2, candidates.shape[1])
         if cand_dev is not None:
-            from serendipity_tpu.utils.aot import aot_call
 
             pm = aot_call(
                 _pm_halves_dev,
@@ -472,7 +471,6 @@ class SerendipityEvaluator:
                 n_items=self.n_items, h_tr=self._h_tr, block=self.user_block,
             )
         else:
-            from serendipity_tpu.utils.aot import aot_call
 
             dev_vals = aot_call(
                 _ser2_device,
@@ -577,7 +575,6 @@ class SerendipityEvaluator:
         out["qua"] = float(norm_feat(mr)[flat].mean()) if mr is not None else 0.0
 
         # diversity: 1 - norm(mean pairwise dot of rec embeddings), per user
-        from serendipity_tpu.utils.aot import aot_call
 
         mp = np.asarray(
             aot_call(
@@ -733,7 +730,6 @@ class SerendipityEvaluator:
         out = np.empty(recs.shape[0], np.float32)
         for s in range(0, recs.shape[0], batch):
             r = jnp.asarray(recs[s:s + batch])
-            from serendipity_tpu.utils.aot import aot_call
 
             out[s:s + batch] = np.asarray(
                 aot_call(
@@ -767,7 +763,6 @@ class SerendipityEvaluator:
         out = np.empty(recs.shape[0], np.float32)
         for s in range(0, recs.shape[0], batch):
             r = jnp.asarray(recs[s:s + batch])
-            from serendipity_tpu.utils.aot import aot_call
 
             out[s:s + batch] = np.asarray(
                 aot_call(

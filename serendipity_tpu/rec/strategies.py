@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from serendipity_tpu.data.datasets import Interactions
+from serendipity_tpu.utils.aot import aot_call, gather_rows, scatter_rows
 
 
 def minmax_rows(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
@@ -198,7 +199,6 @@ def item_item_minmax(
     AOT-cached (this is the evaluator-init compile that measured 4.9-186 s
     through the remote service's cache lottery)."""
     from serendipity_tpu.rec.candidates import _minmax_all
-    from serendipity_tpu.utils.aot import aot_call
 
     ei = jnp.asarray(emb_item, dtype=jnp.float32)
     mn, mx = aot_call(_minmax_all, (ei, ei), static=dict(fp16=False, block=block))
@@ -377,9 +377,6 @@ class StrategyScorer:
                     )
                     for s, cc in _chunk_rows(nb, chunk):
                         sub = users_b[np.minimum(np.arange(s, s + chunk), nb - 1)]
-                        from serendipity_tpu.utils.aot import (
-                            gather_rows, scatter_rows,
-                        )
 
                         r_b, m_b = raw_and_maxsim_sharded(
                             self.mesh,
@@ -418,9 +415,6 @@ class StrategyScorer:
                         sub = users_b[
                             np.minimum(np.arange(s, s + chunk), len(users_b) - 1)
                         ]
-                        from serendipity_tpu.utils.aot import (
-                            aot_call, gather_rows, scatter_rows,
-                        )
 
                         r_b, m_b = aot_call(
                             _raw_and_maxsim_subset,
@@ -523,7 +517,6 @@ class StrategyScorer:
         each fresh-process jit costs a 10-25 s service round-trip — measured
         r5d: ~109 s of the top-k stage was six deferred score-jit compiles, vs
         0.1 s of actual top-k compute (topk_probe)."""
-        from serendipity_tpu.utils.aot import aot_call
 
         cand = self._cand_dev()
         if name == "rand":
@@ -567,7 +560,6 @@ class StrategyScorer:
         """Device top-k over a device score matrix -> host [U, k] int32 item ids
         (the ONLY [U, *] download of the selection path; ~13 MB at ML-25M scale
         vs the 650 MB score matrix)."""
-        from serendipity_tpu.utils.aot import aot_call
 
         k = min(k, int(scores_dev.shape[1]))
         return np.asarray(

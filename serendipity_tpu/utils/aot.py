@@ -38,6 +38,9 @@ import pickle
 import tempfile
 from typing import Any, Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
+
 log = logging.getLogger(__name__)
 
 # in-process memo of loaded/compiled executables: repeated calls (per-chunk
@@ -46,8 +49,6 @@ log = logging.getLogger(__name__)
 # ~48 s of one ML-25M evaluate stage before this cache
 _loaded: Dict[str, Any] = {}
 
-
-import jax
 
 
 @jax.jit
@@ -65,15 +66,11 @@ def gather_rows(mat, rows):
     compile through the relay like jits do (measured ~44 s for one [162k, 20, 64]
     gather) but bypass the executable cache — big-array manipulations on hot
     paths go through these helpers instead."""
-    import jax.numpy as jnp
-
     return aot_call(_gather_rows_jit, (mat, jnp.asarray(rows)))
 
 
 def scatter_rows(buf, rows, vals):
     """`buf.at[rows].set(vals)` through the AOT cache."""
-    import jax.numpy as jnp
-
     return aot_call(_scatter_rows_jit, (buf, jnp.asarray(rows), vals))
 
 
@@ -82,6 +79,31 @@ def _stable_repr(v: Any) -> str:
     if callable(v):
         return getattr(v, "__qualname__", getattr(v, "__name__", "callable"))
     return repr(v)
+
+
+_code_hashes: Dict[int, str] = {}
+
+
+def _code_hash(jitted) -> str:
+    """Hash of the jitted function's SOURCE, so editing its math invalidates
+    stored executables (a key of name+shapes alone would silently serve stale
+    code).  Falls back to bytecode, then to the qualname."""
+    h = _code_hashes.get(id(jitted))
+    if h is not None:
+        return h
+    fn = getattr(jitted, "__wrapped__", jitted)
+    try:
+        import inspect
+
+        src = inspect.getsource(fn)
+    except Exception:
+        code = getattr(fn, "__code__", None)
+        src = code.co_code.hex() if code is not None else _stable_repr(fn)
+        if isinstance(src, bytes):
+            src = src.decode("latin1")
+    h = hashlib.sha256(str(src).encode()).hexdigest()[:16]
+    _code_hashes[id(jitted)] = h
+    return h
 
 
 def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
@@ -98,17 +120,21 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
     cache = os.environ.get("SERENDIPITY_TPU_AOT")
     if not cache:
         return jitted(*args, **static)
-    import jax
 
     try:
         leaves, treedef = jax.tree.flatten(args)
         sig = [
-            (tuple(getattr(l, "shape", ())), str(getattr(l, "dtype", type(l).__name__)))
+            (tuple(getattr(l, "shape", ())),
+             str(getattr(l, "dtype", type(l).__name__)),
+             # shardings are execution-relevant: a mesh run must not be served
+             # a single-device executable (or vice versa)
+             str(getattr(l, "sharding", None)))
             for l in leaves
         ]
         name = getattr(jitted, "__name__", None) or type(jitted).__name__
         key_src = repr((
-            name, tag, jax.default_backend(), jax.__version__, str(treedef), sig,
+            name, tag, _code_hash(jitted), jax.default_backend(),
+            jax.device_count(), jax.__version__, str(treedef), sig,
             sorted((k, _stable_repr(v)) for k, v in static.items()),
         ))
         key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
@@ -118,7 +144,12 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
         return jitted(*args, **static)
 
     if path in _loaded:
-        return _loaded[path](*args)
+        try:
+            return _loaded[path](*args)
+        except Exception as e:
+            log.warning("aot: memoized executable for %s failed (%s); "
+                        "recompiling", path, e)
+            _loaded.pop(path, None)
     if os.path.exists(path):
         try:
             import time as _time
@@ -134,8 +165,9 @@ def aot_call(jitted, args: Tuple, static: Optional[Dict] = None, tag: str = ""):
                 # distinguishes a slow executable LOAD from slow execution when
                 # attributing wall-clock blips on remote relays
                 log.warning("aot: slow deserialize of %s: %.1fs", path, dt)
+            out = loaded(*args)                  # a mismatch degrades, never aborts
             _loaded[path] = loaded
-            return loaded(*args)
+            return out
         except Exception as e:
             log.warning("aot: load of %s failed (%s); recompiling", path, e)
 

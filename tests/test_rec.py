@@ -122,6 +122,27 @@ def test_candidates_underfilled_user_repeats_first_candidate():
     assert (samp == samp[0]).sum() >= 4  # 2 eligible + 4 repeats
 
 
+def test_create_pm_device_matches_host(setup):
+    """The device create_pm path (top-half quality + top-half popularity
+    selections on device) must equal the host numpy transliteration of
+    `utils.py:70-114`.  Features are made DISTINCT per item first: among tied
+    values the host path's unstable argsort is arbitrary while the device path
+    follows lax.top_k order — equality is only defined tie-free."""
+    from serendipity_tpu.rec.serendipity import SerendipityEvaluator
+
+    tiny, eu, ei, cfg, cand = setup
+    rng = np.random.default_rng(11)
+    old_counts = tiny.item_counts
+    tiny.item_counts = rng.permutation(tiny.n_items).astype(np.float64)
+    try:
+        ev = SerendipityEvaluator(tiny, ei)
+        pm_host = ev.create_pm(cand, k=16)
+        pm_dev = ev.create_pm(cand, k=16, cand_dev=jnp.asarray(cand))
+        np.testing.assert_array_equal(pm_host, pm_dev)
+    finally:
+        tiny.item_counts = old_counts
+
+
 def test_candidates_wide_catalog_int32_path():
     """Catalogs past the uint16 range take the int32 transfer branch, whose
     host copy must be writable for the test-tail overwrite (regression: a
