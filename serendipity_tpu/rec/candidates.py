@@ -15,16 +15,21 @@ materialized on the host OR fully sorted on device.  One jit runs two passes as
            sync is a ~77 ms RPC on tunneled TPU backends);
   pass B   per block: bin scores, per-(user, bucket) quota thresholds by
            vectorized bisection on the random priorities (48 halvings resolve
-           any float32 gap), a second bisection for the fill threshold that
-           tops the selection up to exactly n_keep items, then extraction by
-           cumsum + batched binary search (`searchsorted`) into [B, K_c].
+           any float32 gap), one fused bisection for the fill threshold (tops
+           the selection up to n_keep) and the trim threshold (caps rint-quota
+           overshoot by priority), then extraction into [B, K_c] by a
+           SINGLE-KEY SORT COMPACTION (round 5): admitted item ids first,
+           non-admitted shifted by +N, take the first K_c sorted columns.
 
 The round-3 implementation sorted each [B, N] block three times (argsort by
 priority, rank cumsum, argsort by packing key) — at amazon-book scale those
-sorts were ~300 s of the 315 s stage.  Thresholding + counting touches each
-score O(bisect_iters) times with cheap fused elementwise/reduction passes and
-needs no sort at all: selected(item) <=> priority(item) < t[bucket(item)],
-where t is the quota-quantile of the bucket's priorities.
+sorts were ~300 s of the 315 s stage.  SELECTION is a threshold problem, not a
+sort: selected(item) <=> priority(item) < t[bucket(item)] where t is the
+quota-quantile of the bucket's priorities, found by counting passes.
+COMPACTION (round 5 lesson) is the opposite: the round-4 cumsum + batched
+`searchsorted` extraction was ~17 serial gather passes over [B, N] (8.6 s per
+32k-user chunk at ML-25M shape) where one value sort with no gather postlude
+is 1.4 s — see DESIGN.md §7e rule 3.
 
 Sampling semantics are unchanged: with proportional (rint) quotas this draws
 the reference's stratified distribution; candidates stay distinct (documented
