@@ -319,6 +319,12 @@ def _enable_compilation_cache() -> None:
 def main(argv=None) -> None:
     _enable_compilation_cache()
     p = argparse.ArgumentParser(prog="serendipity_tpu")
+    p.add_argument(
+        "--aot", metavar="DIR",
+        help="AOT executable cache dir (SERENDIPITY_TPU_AOT): removes the "
+             "per-process jit trace/lower/compile-request overhead on "
+             "remote-compile backends (utils/aot.py, DESIGN.md §7e)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("train", help="train an embedding model (BPR)")
@@ -383,6 +389,8 @@ def main(argv=None) -> None:
     if bad:
         p.error(f"unrecognized arguments: {' '.join(bad)}")
     args.overrides = list(getattr(args, "overrides", [])) + extra
+    if args.aot:
+        os.environ["SERENDIPITY_TPU_AOT"] = os.path.abspath(args.aot)
     args.fn(args)
 
 
